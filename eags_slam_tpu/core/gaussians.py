@@ -1,0 +1,261 @@
+"""Fixed-capacity 3D Gaussian map state (the reference's GaussianModel).
+
+Design (SURVEY.md §7.1 decision 2): the reference grows/prunes parameter
+tensors dynamically via torch concat / index-select
+(src/entities/gaussian_model.py:501-583) — poison for XLA. Here a submap is a
+capacity-padded pytree with an alive-mask:
+
+  - seeding writes rows into dead slots (dead-first `argsort` allocation,
+    one scatter, no reallocation, no recompile);
+  - pruning clears alive bits (rows become inert: the rasterizer multiplies
+    contributions by `alive`, the optimizer sees zero gradients);
+  - Adam moments are zeroed at newly-seeded rows, matching the reference's
+    zero-initialized optimizer state for concatenated points
+    (gaussian_model.py:535-583).
+
+Also implements the headline **edge-assisted seeding**
+(`edge_pair_seeds`, reference add_points_with_edge gaussian_model.py:169-325)
+as pure gather/scatter array ops: 3x3 patches around sampled edge pixels,
+depth-consistency filter, 2..3-edge-count patch gate, sorted-deduped pixel
+pairs, elongated gaussians at pair midpoints with the x-axis rotated onto the
+pair direction.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import optim
+from .sh import rgb_to_sh
+
+
+class GaussianParams(NamedTuple):
+    xyz: jnp.ndarray            # (N, 3)
+    f_dc: jnp.ndarray           # (N, 3) SH degree-0 coefficients
+    f_rest: jnp.ndarray         # (N, 15, 3) SH degree 1..3 (zero during SLAM)
+    log_scales: jnp.ndarray     # (N, 3)
+    quats: jnp.ndarray          # (N, 4) wxyz
+    opacity_logits: jnp.ndarray  # (N, 1)
+
+
+class GaussianState(NamedTuple):
+    params: GaussianParams
+    alive: jnp.ndarray          # (N,) bool
+    adam: optim.AdamState
+
+
+def empty_params(capacity: int) -> GaussianParams:
+    return GaussianParams(
+        xyz=jnp.zeros((capacity, 3)),
+        f_dc=jnp.zeros((capacity, 3)),
+        f_rest=jnp.zeros((capacity, 15, 3)),
+        log_scales=jnp.full((capacity, 3), -10.0),
+        quats=jnp.concatenate(
+            [jnp.ones((capacity, 1)), jnp.zeros((capacity, 3))], axis=-1
+        ),
+        opacity_logits=jnp.full((capacity, 1), -10.0),
+    )
+
+
+def empty_state(capacity: int) -> GaussianState:
+    params = empty_params(capacity)
+    return GaussianState(
+        params=params,
+        alive=jnp.zeros((capacity,), bool),
+        adam=optim.adam_init(params),
+    )
+
+
+def num_alive(state: GaussianState) -> jnp.ndarray:
+    return jnp.sum(state.alive.astype(jnp.int32))
+
+
+@jax.jit
+def insert(state: GaussianState, rows: GaussianParams, valid: jnp.ndarray
+           ) -> Tuple[GaussianState, jnp.ndarray]:
+    """Write `rows` (M-row pytree) into dead slots; returns (state, n_inserted).
+
+    Valid rows beyond the free capacity are dropped (the reference would grow
+    without bound; our capacity is the documented budget `mapping.max_gaussians`).
+    """
+    capacity = state.alive.shape[0]
+    # Stable sort: dead slots first, in index order.
+    slot_order = jnp.argsort(state.alive.astype(jnp.int32), stable=True)
+    num_dead = capacity - jnp.sum(state.alive.astype(jnp.int32))
+
+    k = jnp.cumsum(valid.astype(jnp.int32)) - 1          # rank among valid rows
+    ok = valid & (k < num_dead)
+    dest = jnp.where(ok, slot_order[jnp.clip(k, 0, capacity - 1)], capacity)
+
+    def scatter(slot_arr, row_arr):
+        return slot_arr.at[dest].set(row_arr, mode="drop")
+
+    new_params = jax.tree.map(scatter, state.params, rows)
+    new_alive = state.alive.at[dest].set(True, mode="drop")
+    new_adam = optim.reset_slots(state.adam, jnp.clip(dest, 0, capacity), ok)
+    return (
+        GaussianState(new_params, new_alive, new_adam),
+        jnp.sum(ok.astype(jnp.int32)),
+    )
+
+
+@jax.jit
+def prune(state: GaussianState, kill: jnp.ndarray) -> GaussianState:
+    """Clear alive bits (reference prune_points gaussian_model.py:501-533)."""
+    return state._replace(alive=state.alive & ~kill)
+
+
+def point_rows(xyz: jnp.ndarray, rgb: jnp.ndarray, dist2: jnp.ndarray,
+               opacity: jnp.ndarray) -> GaussianParams:
+    """Plain point-gaussian rows: identity rotation, isotropic sqrt(knn-dist2)
+    scale (reference add_points gaussian_model.py:141-152).
+
+    rgb in [0,1]; opacity per-row pre-sigmoid probability.
+    """
+    m = xyz.shape[0]
+    logit = jnp.log(opacity / (1.0 - opacity))
+    return GaussianParams(
+        xyz=xyz,
+        f_dc=rgb_to_sh(rgb),
+        f_rest=jnp.zeros((m, 15, 3)),
+        log_scales=jnp.tile(
+            0.5 * jnp.log(jnp.maximum(dist2, 1e-7))[:, None], (1, 3)
+        ),
+        quats=jnp.concatenate([jnp.ones((m, 1)), jnp.zeros((m, 3))], -1),
+        opacity_logits=logit[:, None] if logit.ndim == 1 else logit,
+    )
+
+
+def _quat_from_x_axis(v: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Quaternion rotating the x-axis onto unit vectors v (..., 3).
+
+    Reference formula (axis = x cross v, angle = acos(x . v)),
+    gaussian_model.py:266-277, with the parallel-vector fallback.
+    """
+    x = jnp.array([1.0, 0.0, 0.0], v.dtype)
+    cross = jnp.stack(
+        [jnp.zeros_like(v[..., 0]), -v[..., 2], v[..., 1]], axis=-1
+    )  # x cross v
+    dot = jnp.clip(v[..., 0], -1.0, 1.0)
+    angle = jnp.arccos(dot)
+    norm = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+    axis = jnp.where(norm > eps, cross / jnp.maximum(norm, eps), x)
+    half = angle / 2.0
+    return jnp.concatenate(
+        [jnp.cos(half)[..., None], axis * jnp.sin(half)[..., None]], axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def edge_pair_seeds(
+    sample_ids: jnp.ndarray,    # (S,) flat pixel ids (row*W + col)
+    sample_valid: jnp.ndarray,  # (S,) bool
+    edge: jnp.ndarray,          # (H, W) bool edge image
+    depth: jnp.ndarray,         # (H, W) f32
+    points: jnp.ndarray,        # (H*W, 3) backprojected world points
+    colors: jnp.ndarray,        # (H*W, 3) rgb in [0,1]
+    height: int,
+    width: int,
+    depth_thres: float = 0.025,
+):
+    """Edge-gaussian candidates from sampled edge pixels.
+
+    Returns:
+      pair_lo, pair_hi: (S*8,) flat pixel ids of deduped pairs
+      pair_valid:       (S*8,) bool
+      xyz, rgb, log_scales, quats: per-pair gaussian attributes (S*8, ...)
+      member: (S,) bool — sample ids that participate in some pair (their
+              point-gaussian opacity drops to 0.1, reference :283-284)
+    """
+    s = sample_ids.shape[0]
+    edge_f = edge.reshape(-1)
+    depth_f = depth.reshape(-1)
+
+    rows = sample_ids // width
+    cols = sample_ids % width
+    is_edge_sample = sample_valid & edge_f[sample_ids]
+
+    # 3x3 patch neighbors (8 offsets, center excluded).
+    dr = jnp.array([-1, -1, -1, 0, 0, 1, 1, 1], jnp.int32)
+    dc = jnp.array([-1, 0, 1, -1, 1, -1, 0, 1], jnp.int32)
+    nr = rows[:, None] + dr[None, :]
+    nc = cols[:, None] + dc[None, :]
+    inb = (nr >= 0) & (nr < height) & (nc >= 0) & (nc < width)
+    nid = jnp.clip(nr, 0, height - 1) * width + jnp.clip(nc, 0, width - 1)
+
+    d_mid = depth_f[sample_ids][:, None]
+    nbr_edge = (
+        inb
+        & edge_f[nid]
+        & (jnp.abs(depth_f[nid] - d_mid) < depth_thres)
+        & is_edge_sample[:, None]
+    )
+    # Patch gate: 1 < count < 4 where count includes the (always-consistent)
+    # center pixel (reference :208-209) => 1..2 valid neighbors.
+    cnt = jnp.sum(nbr_edge, axis=1) + is_edge_sample.astype(jnp.int32)
+    good = (cnt > 1) & (cnt < 4)
+    pair_ok = nbr_edge & good[:, None]
+
+    center = jnp.broadcast_to(sample_ids[:, None], nid.shape)
+    lo = jnp.minimum(center, nid).reshape(-1)
+    hi = jnp.maximum(center, nid).reshape(-1)
+    ok = pair_ok.reshape(-1)
+
+    # Dedup: lexicographic sort on (ok_last, lo, hi); equal-neighbor rows are
+    # duplicates (a pair appears twice when both endpoints were sampled).
+    sort_lo = jnp.where(ok, lo, jnp.iinfo(jnp.int32).max)
+    sort_hi = jnp.where(ok, hi, jnp.iinfo(jnp.int32).max)
+    s_lo, s_hi, s_ok = jax.lax.sort(
+        (sort_lo, sort_hi, ok.astype(jnp.int32)), dimension=0, num_keys=2
+    )
+    dup = jnp.concatenate(
+        [jnp.array([False]), (s_lo[1:] == s_lo[:-1]) & (s_hi[1:] == s_hi[:-1])]
+    )
+    pair_valid = (s_ok == 1) & ~dup
+    safe_lo = jnp.clip(s_lo, 0, height * width - 1)
+    safe_hi = jnp.clip(s_hi, 0, height * width - 1)
+
+    p1 = points[safe_lo]
+    p2 = points[safe_hi]
+    vec = p2 - p1
+    dist = jnp.linalg.norm(vec, axis=-1)
+    unit = vec / jnp.maximum(dist, 1e-8)[:, None]
+
+    xyz = 0.5 * (p1 + p2)
+    rgb = 0.5 * (colors[safe_lo] + colors[safe_hi])
+    # Elongated scale (1.25 d, 0.5 d, 0.5 d), reference :258-264.
+    d_safe = jnp.maximum(dist, 1e-6)
+    log_scales = jnp.log(
+        jnp.stack([1.25 * d_safe, 0.5 * d_safe, 0.5 * d_safe], axis=-1)
+    )
+    quats = _quat_from_x_axis(unit)
+
+    # Membership of sample ids in any pair endpoint (reference isin, :284).
+    member_px = jnp.zeros((height * width,), bool)
+    drop_lo = jnp.where(pair_valid, safe_lo, height * width)
+    drop_hi = jnp.where(pair_valid, safe_hi, height * width)
+    member_px = member_px.at[drop_lo].set(True, mode="drop")
+    member_px = member_px.at[drop_hi].set(True, mode="drop")
+    member = member_px[sample_ids] & sample_valid
+
+    return s_lo, s_hi, pair_valid, xyz, rgb, log_scales, quats, member
+
+
+def edge_rows(xyz, rgb, log_scales, quats) -> GaussianParams:
+    """Assemble edge-gaussian rows (opacity 0.5, reference :283)."""
+    m = xyz.shape[0]
+    return GaussianParams(
+        xyz=xyz,
+        f_dc=rgb_to_sh(rgb),
+        f_rest=jnp.zeros((m, 15, 3)),
+        log_scales=log_scales,
+        quats=quats,
+        opacity_logits=jnp.zeros((m, 1)),  # sigmoid(0) = 0.5
+    )
+
+
+def concat_rows(a: GaussianParams, b: GaussianParams) -> GaussianParams:
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)

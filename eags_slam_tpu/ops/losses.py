@@ -1,0 +1,82 @@
+"""Mapping/tracking losses.
+
+Reference: src/entities/losses.py (L1 with agg modes, 11x11 sigma-1.5 windowed
+SSIM, isotropic scale regularizer :129-139) and the PSNR helper
+(src/utils/mapper_utils.py:293-302).
+
+SSIM uses separable 1D convolutions (two small convs instead of one 11x11) —
+the same math, fewer FLOPs, and XLA maps both onto the conv/MXU path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, agg: str = "mean") -> jnp.ndarray:
+    diff = jnp.abs(pred - gt)
+    if agg == "mean":
+        return jnp.mean(diff)
+    if agg == "sum":
+        return jnp.sum(diff)
+    return diff  # "none"
+
+
+def masked_l1(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of |pred-gt| over mask (sum/count), 0-safe."""
+    diff = jnp.abs(pred - gt) * mask
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over an (H, W, C) pair. Gaussian window sigma=1.5."""
+    sigma = 1.5
+    half = window_size // 2
+    x = jnp.arange(window_size, dtype=jnp.float32) - half
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / jnp.sum(g)
+
+    def blur(img):
+        # (H, W, C) -> separable gaussian filter, SAME padding.
+        img_ = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
+        k_v = g.reshape(1, 1, window_size, 1)
+        k_h = g.reshape(1, 1, 1, window_size)
+        conv = lambda lhs, rhs: jax.lax.conv_general_dilated(
+            lhs, rhs, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        )
+        res = conv(conv(img_, k_v), k_h)
+        return jnp.moveaxis(res[:, 0], 0, -1)
+
+    if img1.ndim == 2:
+        img1 = img1[..., None]
+        img2 = img2[..., None]
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu12
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def isotropic_loss(log_scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    """Penalize anisotropy: mean |s - mean(s)| over alive gaussians.
+
+    Reference: src/entities/losses.py:129-139.
+    """
+    scales = jnp.exp(log_scales)
+    mean_s = jnp.mean(scales, axis=-1, keepdims=True)
+    per_g = jnp.mean(jnp.abs(scales - mean_s), axis=-1)
+    w = alive.astype(per_g.dtype)
+    return jnp.sum(per_g * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
