@@ -197,8 +197,17 @@ def se3_exp(tau: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle vector (..., 3)."""
-    cos_theta = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    """Rotation matrix -> axis-angle vector (..., 3).
+
+    Differentiation-safe at the identity: cos(theta) is clipped strictly
+    inside (-1, 1) (arccos' gradient is infinite at the endpoints, which
+    poisons Gauss-Newton jacobians through residuals that are exactly zero)
+    and theta/(2 sin theta) is computed via the smooth jnp.sinc. Near
+    theta = pi the formula degrades; SLAM relative rotations stay far from pi.
+    """
+    cos_theta = jnp.clip(
+        (jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7
+    )
     theta = jnp.arccos(cos_theta)
     w_hat = jnp.stack(
         [
@@ -208,12 +217,8 @@ def so3_log(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    # theta/(2 sin theta), with the limit 1/2 at theta -> 0. Near theta = pi the
-    # formula degrades; SLAM inter-frame rotations are far from pi so we accept
-    # reduced accuracy there (documented, tested to ~1e-3 at 3 rad).
-    scale = jnp.where(
-        theta > eps, theta / (2.0 * jnp.sin(theta) + eps), 0.5 + theta * theta / 12.0
-    )
+    # theta / (2 sin theta) = 0.5 / sinc(theta/pi): smooth + finite at 0.
+    scale = 0.5 / jnp.sinc(theta / jnp.pi)
     return scale[..., None] * w_hat
 
 

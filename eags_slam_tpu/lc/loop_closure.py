@@ -1,0 +1,288 @@
+"""Parallel loop closure: detection, registration, PGO, correction.
+
+Reference: src/entities/lc.py — background 1-worker executor on a second GPU
+(:60-66), per-submap keyframe descriptors + self-similarity thresholds
+(:97-124), closure detection (cross-sim above per-image self-sim topk, min
+submap gap, :173-202), pose graph with odometry + registration loop edges
+(:204-277), global PGO (:302-316), correction application rewriting the
+`Twc` ranges and each submap's `T_prev_m` (:568-596), `save_Twc` (:598-612),
+`check_futures` error propagation (:656-663), and the alternative
+registration methods gt/icp/identity (:454-566).
+
+TPU-native concurrency (SURVEY.md §2.4 P3/P4): same submit/future structure,
+but instead of a dedicated GPU the LC work is just more device programs —
+async with respect to the host loop via the executor thread, and with a
+multi-chip mesh the registration batch can run on an `lc` mesh slice
+(parallel.mesh.lc_submesh). Corrections flow back to the main loop through
+`drain_corrections` (applied at frame boundaries) rather than mutating
+shared tensors mid-flight.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..ops.rasterizer import RasterConfig
+from ..slam.submap import Submap
+from .descriptor import GlobalDesc
+from .pgo import PoseGraph, optimize_pose_graph
+from .solver import RegistrationResult, gaussian_registration, icp_registration
+
+
+@dataclass
+class _SubmapInfo:
+    submap: Submap
+    descriptors: np.ndarray          # (K, D)
+    self_sim_thre: np.ndarray        # (K,) per-keyframe threshold
+    start_frame: int
+    end_frame: int                   # exclusive
+
+
+class LoopClosure:
+    def __init__(self, config: Dict, output_path: str, cam: Camera,
+                 dataset=None):
+        lc = config.get("lc", {})
+        self.enabled = bool(lc.get("enabled", True))
+        self.parallel = bool(lc.get("parallel", True))
+        self.min_interval = int(lc.get("min_interval", 3))
+        self.min_similarity = float(lc.get("min_similarity", 0.7))
+        self.self_sim_topk = int(lc.get("self_sim_topk", 3))
+        self.overlap_thre = float(lc.get("overlap_thre", 0.2))
+        self.registration = str(lc.get("registration", "gs_reg"))
+        self.pose_opt_iters = int(lc.get("pose_opt_iters", 100))
+        self.top_views = int(lc.get("top_views", 2))
+        self.capacity = int(lc.get("capacity",
+                                   config["mapping"].get("max_gaussians", 1 << 18)))
+        self.output_path = output_path
+        self.cam = cam
+        self.dataset = dataset
+        self.rcfg = RasterConfig(
+            tile=16, dup_side=4,
+            tile_capacity=int(config["mapping"].get("tile_capacity", 1024)),
+            chunk=64,
+        )
+        self.desc = GlobalDesc()
+        self.infos: List[_SubmapInfo] = []
+        self.loop_edges: List[tuple] = []   # (i, j, Z, info)
+        self._corrected: Optional[np.ndarray] = None
+        self._twc: Optional[np.ndarray] = None
+        self._lock = threading.Lock()
+        self._futures: List[concurrent.futures.Future] = []
+        self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self.n_closures = 0
+
+    def attach_dataset(self, dataset):
+        self.dataset = dataset
+
+    # ------------------------------------------------------------------
+    def submit(self, submap_id: int, frame_id: int, estimated_c2ws: np.ndarray):
+        """Dispatch LC for the just-saved submap (reference :639-655)."""
+        if not self.enabled:
+            return None
+        twc = np.array(estimated_c2ws, np.float64)
+        fut = self._executor.submit(self._run, submap_id, frame_id, twc)
+        self._futures.append(fut)
+        if not self.parallel:
+            fut.result()
+        return fut
+
+    def check_futures(self):
+        """Re-raise background errors (reference :656-663)."""
+        done = [f for f in self._futures if f.done()]
+        for f in done:
+            self._futures.remove(f)
+            exc = f.exception()
+            if exc is not None:
+                raise exc
+
+    def drain_corrections(self) -> Optional[np.ndarray]:
+        with self._lock:
+            out = self._corrected
+            self._corrected = None
+        return out
+
+    def finalize(self):
+        self._executor.shutdown(wait=True)
+        self.check_futures()
+
+    def shutdown(self):
+        self._executor.shutdown(wait=False, cancel_futures=True)
+
+    def save_twc(self, path: Optional[str] = None):
+        """reference save_Twc -> estimated trajectory ckpt (:598-612)."""
+        if self._twc is None:
+            return
+        path = path or os.path.join(self.output_path, "estimated_c2w.npz")
+        np.savez(path, c2ws=self._twc)
+
+    # ------------------------------------------------------------------
+    def _keyframe_views(self, info: _SubmapInfo, Twm: np.ndarray) -> List[dict]:
+        views = []
+        for k, fid in enumerate(info.submap.kf_frame_ids):
+            _, color, depth, _ = self.dataset[int(fid)]
+            views.append(
+                {
+                    "c2w": Twm @ info.submap.Tmc[k],
+                    "color": jnp.asarray(color),
+                    "depth": jnp.asarray(depth),
+                }
+            )
+        return views
+
+    def _load_submap_info(self, submap_id: int, end_frame: int):
+        """Load the npz, compute keyframe descriptors + self-sim thresholds
+        (reference update_submaps_info_from_file :97-124)."""
+        path = os.path.join(self.output_path, "submaps", f"{submap_id:06d}.npz")
+        if not os.path.exists(path):
+            return
+        sm = Submap.load(path)
+        descs = []
+        for fid in sm.kf_frame_ids:
+            _, color, _, _ = self.dataset[int(fid)]
+            descs.append(np.asarray(self.desc(color)))
+        descs = np.stack(descs) if descs else np.zeros((0, self.desc.dim))
+        # Per-keyframe self-similarity threshold: mean of top-k similarities
+        # to the other keyframes of the SAME submap (reference :111-124).
+        if len(descs) > 1:
+            sim = descs @ descs.T
+            np.fill_diagonal(sim, -1.0)
+            k = min(self.self_sim_topk, len(descs) - 1)
+            thre = np.sort(sim, axis=1)[:, -k:].mean(axis=1)
+            thre = np.maximum(thre, self.min_similarity)
+        else:
+            thre = np.full((len(descs),), self.min_similarity)
+        start = sm.kf_id
+        self.infos.append(_SubmapInfo(sm, descs, thre, start, end_frame))
+
+    def _detect_closures(self, cur: int) -> List[int]:
+        """Submaps whose keyframes look like the current submap's
+        (reference detect_closure :173-202)."""
+        out = []
+        cur_desc = self.infos[cur].descriptors
+        if cur_desc.size == 0:
+            return out
+        for j in range(len(self.infos)):
+            if cur - j < self.min_interval:
+                continue
+            dj = self.infos[j].descriptors
+            if dj.size == 0:
+                continue
+            cross = cur_desc @ dj.T  # (Kc, Kj)
+            hit = cross.max(axis=0) > self.infos[j].self_sim_thre
+            if hit.any():
+                out.append(j)
+        return out
+
+    def _anchor_world_poses(self) -> np.ndarray:
+        """Chain T_prev_m into world anchor poses."""
+        poses = []
+        T = np.eye(4)
+        for info in self.infos:
+            T = T @ info.submap.T_prev_m
+            poses.append(T.copy())
+        return np.stack(poses)
+
+    def _register(self, i: int, j: int, anchors: np.ndarray
+                  ) -> RegistrationResult:
+        """Register current submap i against matched submap j."""
+        info_i, info_j = self.infos[i], self.infos[j]
+        g_i = info_i.submap.restore_world(anchors[i])
+        g_j = info_j.submap.restore_world(anchors[j])
+        if self.registration == "identity":
+            return RegistrationResult(True, np.eye(4), 1.0, 1.0)
+        if self.registration == "gt" and self.dataset is not None:
+            # GT correction for analysis runs (reference :454-478).
+            fid_i = info_i.submap.kf_id
+            fid_j = info_j.submap.kf_id
+            gt_rel = np.asarray(self.dataset.poses[fid_j]) @ np.linalg.inv(
+                np.asarray(self.dataset.poses[fid_i])
+            )
+            est_rel = anchors[j] @ np.linalg.inv(anchors[i])
+            C = np.linalg.inv(est_rel) @ gt_rel
+            return RegistrationResult(True, C, 1.0, 1.0)
+        if self.registration in ("icp", "robust_icp"):
+            return icp_registration(
+                g_j, g_i, robust=self.registration == "robust_icp"
+            )
+        views_i = self._keyframe_views(info_i, anchors[i])
+        views_j = self._keyframe_views(info_j, anchors[j])
+        return gaussian_registration(
+            g_j, g_i, views_j, views_i, info_j.descriptors, info_i.descriptors,
+            self.cam, self.rcfg, self.capacity, self.overlap_thre,
+            self.top_views, self.pose_opt_iters,
+        )
+
+    def _run(self, submap_id: int, frame_id: int, twc: np.ndarray):
+        """Background LC pass (reference run :614-637 + loop_closure
+        :279-331)."""
+        self._load_submap_info(len(self.infos), frame_id)
+        if len(self.infos) == 0:
+            return
+        cur = len(self.infos) - 1
+        self._twc = twc
+
+        matches = self._detect_closures(cur)
+        anchors = self._anchor_world_poses()
+        new_edges = []
+        for j in matches:
+            res = self._register(cur, j, anchors)
+            if not res.successful or not np.all(np.isfinite(res.transformation)):
+                continue
+            # Loop edge measurement: Z_j_cur = inv(X_j) @ C @ X_cur.
+            Z = np.linalg.inv(anchors[j]) @ res.transformation @ anchors[cur]
+            new_edges.append((j, cur, Z, max(res.fitness, 1e-2)))
+        self.loop_edges.extend(new_edges)
+        if not new_edges:
+            return  # no new loop edges -> skip PGO (reference :302,326-328)
+
+        self.n_closures += len(new_edges)
+        n = len(self.infos)
+        edges_ij, edges_T, edges_info = [], [], []
+        for s in range(1, n):
+            edges_ij.append((s - 1, s))
+            edges_T.append(
+                np.linalg.inv(anchors[s - 1]) @ anchors[s]
+            )
+            edges_info.append(1.0)
+        for (i, j, Z, w) in self.loop_edges:
+            edges_ij.append((i, j))
+            edges_T.append(Z)
+            edges_info.append(w)
+
+        graph = PoseGraph(
+            poses=jnp.asarray(anchors, dtype=jnp.float32),
+            edges_ij=jnp.asarray(np.asarray(edges_ij, np.int32)),
+            edges_T=jnp.asarray(np.stack(edges_T), dtype=jnp.float32),
+            edges_info=jnp.asarray(np.asarray(edges_info, np.float32)),
+            edges_valid=jnp.ones((len(edges_ij),), bool),
+        )
+        corrected = np.asarray(optimize_pose_graph(graph), np.float64)
+        self._apply_corrections(anchors, corrected, twc)
+
+    def _apply_corrections(self, anchors: np.ndarray, corrected: np.ndarray,
+                           twc: np.ndarray):
+        """Rewrite Twc ranges + per-submap T_prev_m (reference :568-596)."""
+        n_frames = twc.shape[0]
+        for s, info in enumerate(self.infos):
+            corr = corrected[s] @ np.linalg.inv(anchors[s])
+            start = info.start_frame
+            end = info.end_frame if s == len(self.infos) - 1 else (
+                self.infos[s + 1].start_frame
+            )
+            end = min(end, n_frames)
+            twc[start:end] = corr @ twc[start:end]
+            # Rewrite T_prev_m in memory and on disk.
+            prev = corrected[s - 1] if s > 0 else np.eye(4)
+            new_T_prev_m = np.linalg.inv(prev) @ corrected[s]
+            info.submap.T_prev_m = new_T_prev_m
+            info.submap.save(self.output_path)
+        with self._lock:
+            self._corrected = twc
+            self._twc = twc

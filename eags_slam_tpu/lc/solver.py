@@ -1,0 +1,218 @@
+"""Submap-to-submap registration by rendering-based pose optimization.
+
+Reference: src/gsr/solver.py — overlap gate < 0.2 (:113-120), top-2
+most-similar keyframe views per direction by descriptor score (:135-145),
+per-view `viewpoint_localizer` (:16-98, 100 iters of render + pose-gradient
+descent), residual-weighted probabilistic fusion with
+`roma.special_procrustes` rotation averaging (:181-201).
+
+The pose-gradient rasterizer ("diff-gaussian-rasterization-w-pose") is not a
+separate kernel here: `slam.tracker.refine_pose` differentiates the shared
+rasterizer w.r.t. the camera transform directly (SURVEY.md §7.1 decision 3).
+Submap gaussians are padded to a fixed capacity so every registration hits
+the same compiled program.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from ..core.se3 import rotation_average
+from ..ops import knn
+from ..ops.rasterizer import RasterConfig
+from ..slam.tracker import TrackerConfig, refine_pose
+
+
+class RegistrationResult(NamedTuple):
+    successful: bool
+    # Correction C: corrected_world_pose_of_target = C @ current_world_pose.
+    transformation: np.ndarray   # (4, 4)
+    fitness: float               # mean residual-derived weight
+    overlap: float
+
+
+def _pad_params(g: Dict[str, np.ndarray], capacity: int):
+    """Packed world-frame gaussian dict -> capacity-padded GaussianParams."""
+    n = g["xyz"].shape[0]
+    if n > capacity:
+        idx = np.random.default_rng(0).choice(n, capacity, replace=False)
+        g = {k: v[idx] for k, v in g.items()}
+        n = capacity
+
+    def pad(x, fill=0.0):
+        out = np.full((capacity,) + x.shape[1:], fill, x.dtype)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    params = GaussianParams(
+        xyz=pad(g["xyz"]),
+        f_dc=pad(g["f_dc"]),
+        f_rest=pad(g["f_rest"]),
+        log_scales=pad(g["log_scales"], -10.0),
+        quats=pad(g["quats"]),
+        opacity_logits=pad(g["opacity_logits"], -10.0),
+    )
+    alive = jnp.arange(capacity) < n
+    return params, alive
+
+
+def viewpoint_localize(
+    params: GaussianParams, alive, view_c2w: np.ndarray, gt_color, gt_depth,
+    cam: Camera, rcfg: RasterConfig, iters: int = 100,
+) -> Tuple[np.ndarray, float]:
+    """Optimize a camera pose so the rendered map matches the view's RGB-D.
+
+    Returns (corrected c2w, final loss). reference viewpoint_localizer
+    (:16-98): MonoGS tracking loss, SE3 update, plateau scheduler.
+    """
+    tcfg = TrackerConfig(
+        iterations=iters, cam_rot_lr=0.003, cam_trans_lr=0.001,
+        w_color_loss=0.95, alpha_thre=0.95, filter_alpha=True,
+        filter_outlier_depth=True, soft_alpha=False, early_stop_cnt=15,
+    )
+    last_w2c = np.linalg.inv(np.asarray(view_c2w, np.float64))
+    rel, _, stats = refine_pose(
+        params, alive, jnp.eye(4), jnp.asarray(last_w2c, dtype=jnp.float32),
+        gt_color, gt_depth, jnp.asarray(iters, jnp.int32), jnp.zeros(2),
+        cam, rcfg, tcfg,
+    )
+    w2c_new = last_w2c @ np.asarray(rel, np.float64)
+    return np.linalg.inv(w2c_new), float(stats["loss"])
+
+
+def icp_registration(
+    gauss_src: Dict[str, np.ndarray],
+    gauss_tgt: Dict[str, np.ndarray],
+    iters: int = 15,
+    dist: float = 0.25,
+    robust: bool = False,
+) -> RegistrationResult:
+    """Point-to-point ICP on gaussian centers (reference icp/robust_icp paths
+    lc.py:454-566, Open3D). `robust` shrinks the correspondence distance over
+    iterations (a cheap multi-scale schedule standing in for FPFH+RANSAC
+    init, gsr/pcr.py). Returns the correction C for the target cloud."""
+    src = gauss_src["xyz"].astype(np.float64)
+    tgt = gauss_tgt["xyz"].astype(np.float64)
+    cap = 20000
+    rng = np.random.default_rng(0)
+    if len(src) > cap:
+        src = src[rng.choice(len(src), cap, replace=False)]
+    if len(tgt) > cap:
+        tgt = tgt[rng.choice(len(tgt), cap, replace=False)]
+    C = np.eye(4)
+    fitness = 0.0
+    src_j = jnp.asarray(src, dtype=jnp.float32)
+    src_mask = jnp.ones((len(src),), bool)
+    for it in range(iters):
+        d = dist * (0.5 ** (it // 5)) if robust else dist
+        cur = tgt @ C[:3, :3].T + C[:3, 3]
+        d2, nn_all = knn.nearest_neighbor(
+            jnp.asarray(cur, dtype=jnp.float32),
+            jnp.ones((len(cur),), bool), src_j, src_mask,
+        )
+        d2 = np.asarray(d2)
+        nn_all = np.asarray(nn_all)
+        match = d2 < d * d
+        fitness = float(match.mean())
+        if match.sum() < 10:
+            return RegistrationResult(False, np.eye(4), fitness, fitness)
+        sub = cur[match]
+        nn = nn_all[match]
+        A = sub - sub.mean(0)
+        B = src[nn] - src[nn].mean(0)
+        H = A.T @ B
+        U, _, Vt = np.linalg.svd(H)
+        S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+        R = Vt.T @ S @ U.T
+        t = src[nn].mean(0) - R @ sub.mean(0)
+        step = np.eye(4)
+        step[:3, :3] = R
+        step[:3, 3] = t
+        C = step @ C
+    return RegistrationResult(fitness > 0.3, C, fitness, fitness)
+
+
+def gaussian_registration(
+    gauss_src: Dict[str, np.ndarray],
+    gauss_tgt: Dict[str, np.ndarray],
+    views_src: List[dict],
+    views_tgt: List[dict],
+    desc_src: np.ndarray,
+    desc_tgt: np.ndarray,
+    cam: Camera,
+    rcfg: RasterConfig,
+    capacity: int,
+    overlap_thre: float = 0.2,
+    top_views: int = 2,
+    pose_opt_iters: int = 100,
+    overlap_dist: float = 0.05,
+) -> RegistrationResult:
+    """Estimate correction C aligning the *target* submap onto the *source*.
+
+    views_*: list of {c2w, color (H,W,3) jnp, depth (H,W) jnp} keyframes.
+    desc_*: (K, D) descriptors of those keyframes.
+    """
+    p_src, a_src = _pad_params(gauss_src, capacity)
+    p_tgt, a_tgt = _pad_params(gauss_tgt, capacity)
+
+    overlap = float(
+        knn.overlap_ratio(p_src.xyz, a_src, p_tgt.xyz, a_tgt, overlap_dist)
+    )
+    if overlap < overlap_thre:
+        return RegistrationResult(False, np.eye(4), 0.0, overlap)
+
+    # Cross-similarity: pick target views that look like source content and
+    # vice versa (reference :135-145).
+    sim = desc_src @ desc_tgt.T  # (Ks, Kt)
+    tgt_best = np.argsort(-sim.max(axis=0))[:top_views]   # target views
+    src_best = np.argsort(-sim.max(axis=1))[:top_views]   # source views
+
+    corrections: List[np.ndarray] = []
+    losses: List[float] = []
+    # Target views rendered against the SOURCE map: corrected view pose gives
+    # C directly (C = c2w' @ inv(c2w)).
+    for vi in tgt_best:
+        v = views_tgt[int(vi)]
+        c2w_new, loss = viewpoint_localize(
+            p_src, a_src, v["c2w"], v["color"], v["depth"], cam, rcfg,
+            pose_opt_iters,
+        )
+        C = c2w_new @ np.linalg.inv(np.asarray(v["c2w"], np.float64))
+        corrections.append(C)
+        losses.append(loss)
+    # Source views rendered against the TARGET map: gives the inverse
+    # correction.
+    for vi in src_best:
+        v = views_src[int(vi)]
+        c2w_new, loss = viewpoint_localize(
+            p_tgt, a_tgt, v["c2w"], v["color"], v["depth"], cam, rcfg,
+            pose_opt_iters,
+        )
+        D = c2w_new @ np.linalg.inv(np.asarray(v["c2w"], np.float64))
+        corrections.append(np.linalg.inv(D))
+        losses.append(loss)
+
+    losses_np = np.asarray(losses)
+    if not np.all(np.isfinite(losses_np)) or not all(
+        np.all(np.isfinite(c)) for c in corrections
+    ):
+        return RegistrationResult(False, np.eye(4), 0.0, overlap)
+
+    # Residual-weighted fusion (reference :181-201): softmax over -loss.
+    w = np.exp(-(losses_np - losses_np.min()) / max(losses_np.std(), 1e-6))
+    w = w / w.sum()
+    Rs = jnp.asarray(np.stack([c[:3, :3] for c in corrections]), dtype=jnp.float32)
+    R_fused = np.asarray(
+        rotation_average(Rs, jnp.asarray(w, dtype=jnp.float32)), np.float64
+    )
+    t_fused = np.sum(
+        np.stack([c[:3, 3] for c in corrections]) * w[:, None], axis=0
+    )
+    C = np.eye(4)
+    C[:3, :3] = R_fused
+    C[:3, 3] = t_fused
+    return RegistrationResult(True, C, float(w.max()), overlap)

@@ -83,6 +83,30 @@ def nearest_sq_dist(query, qmask, ref, rmask, chunk: int = 1024):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
+def nearest_neighbor(query, qmask, ref, rmask, chunk: int = 1024):
+    """(d2, index) of the nearest reference point per query."""
+    nq = query.shape[0]
+    nq_pad = -(-nq // chunk) * chunk
+    query_p = _pad_to(query, nq_pad)
+    ref_sq = jnp.sum(ref * ref, axis=-1)
+    ref_sq = jnp.where(rmask, ref_sq, _INF)
+
+    def body(ci):
+        q = jax.lax.dynamic_slice(query_p, (ci * chunk, 0), (chunk, 3))
+        cross = jnp.matmul(q, ref.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.sum(q * q, axis=-1, keepdims=True) - 2.0 * cross + ref_sq[None, :]
+        d2 = jnp.where(rmask[None, :], d2, _INF)
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        return jnp.min(d2, axis=-1), idx
+
+    d2, idx = jax.lax.map(body, jnp.arange(nq_pad // chunk))
+    return (
+        jnp.maximum(d2.reshape(nq_pad)[:nq], 0.0),
+        idx.reshape(nq_pad)[:nq],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def radius_dedup(new_pts, new_mask, existing, ex_mask, radius, chunk: int = 1024):
     """Keep-mask for candidate points, reproducing the reference rule
     (mapper_utils.py:193-226): candidate i is dropped when any point with a

@@ -59,10 +59,14 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     sigma2_sq = blur(img2 * img2) - mu2_sq
     sigma12 = blur(img1 * img2) - mu12
     C1, C2 = 0.01**2, 0.03**2
+    # Separable-blur variance estimates can go slightly negative on flat
+    # regions, pushing SSIM past 1 (and (1-ssim) losses negative); clamp.
+    sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+    sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
     ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     )
-    return jnp.mean(ssim_map)
+    return jnp.mean(jnp.clip(ssim_map, -1.0, 1.0))
 
 
 def isotropic_loss(log_scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,390 @@
+"""GaussianSLAM orchestrator: the per-frame host loop.
+
+Reference: src/entities/gaussian_slam.py — output dir setup (:82-101), submap
+decision `should_start_new_submap` (:103-117, motion heuristic rot>50deg /
+trans>0.5m or every `new_submap_every` frames), submap save (:119-130),
+frame-0/1 GT poses (:198-206), mapping frames = every map_every-th + last
+(:54), loop-closure dispatch at submap boundaries (:233-235), final submap
+save + optional final LC (:278-296), FPS/time report (:298-313).
+
+The host loop stays Python (it is control flow over device programs, exactly
+like the reference's run()); every hot path it calls — tracking refinement,
+seeding, growth, submap optimization — is a single jitted device program.
+"""
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import save_config
+from ..core import gaussians as G
+from ..core.camera import Camera
+from ..core.se3 import const_speed_extrapolate
+from ..datasets import get_dataset
+from ..ops.image import canny, dilate, rgb_to_gray
+from ..ops.rasterizer import RasterConfig
+from . import mapper as M
+from .logger import Logger
+from .submap import Submap, pack_state
+from .tracker import Tracker, TrackerConfig
+
+
+def _rotation_angle_deg(R1: np.ndarray, R2: np.ndarray) -> float:
+    cosang = (np.trace(R1.T @ R2) - 1.0) / 2.0
+    return math.degrees(math.acos(min(max(cosang, -1.0), 1.0)))
+
+
+def exceeds_motion_thresholds(c2w: np.ndarray, anchor_c2w: np.ndarray,
+                              rot_thre: float, trans_thre: float) -> bool:
+    """Reference mapper_utils.py:229-268 motion heuristic."""
+    rot = _rotation_angle_deg(anchor_c2w[:3, :3], c2w[:3, :3])
+    trans = float(np.linalg.norm(c2w[:3, 3] - anchor_c2w[:3, 3]))
+    return rot > rot_thre or trans > trans_thre
+
+
+class GaussianSLAM:
+    def __init__(self, config: Dict):
+        self.config = config
+        self.verbose = bool(config.get("verbose", False))
+        self.output_path = config["data"]["output_path"]
+        self._setup_output_path()
+
+        DatasetClass = get_dataset(config["data"]["dataset_name"])
+        self.dataset = DatasetClass(config)
+        self.dataset.start_prefetch()
+        self.cam: Camera = self.dataset.camera
+
+        mc = config["mapping"]
+        tc = config["tracking"]
+        self.map_every = int(mc["map_every"])
+        self.new_submap_every = int(mc["new_submap_every"])
+        self.motion_heuristic = bool(mc["submap_using_motion_heuristic"])
+        self.rot_thre = float(mc.get("new_submap_rot_thre", 50.0))
+        self.trans_thre = float(mc.get("new_submap_trans_thre", 0.5))
+        self.capacity = int(mc.get("max_gaussians", 1 << 18))
+
+        self.rcfg = RasterConfig(
+            tile=16,
+            dup_side=4,
+            tile_capacity=int(mc.get("tile_capacity", 1024)),
+            chunk=64,
+        )
+        self.mcfg = M.MapperConfig(
+            iterations=int(mc["iterations"]),
+            new_submap_iterations=int(mc["new_submap_iterations"]),
+            new_submap_points_num=int(mc["new_submap_points_num"]),
+            new_submap_gradient_points_num=int(mc["new_submap_gradient_points_num"]),
+            new_frame_sample_size=int(mc["new_frame_sample_size"]),
+            new_points_radius=float(mc["new_points_radius"]),
+            current_view_opt_iterations=float(mc["current_view_opt_iterations"]),
+            alpha_thre=float(mc["alpha_thre"]),
+            pruning_thre=float(mc["pruning_thre"]),
+            edge_dilate=int(mc.get("edge_dilate_kernel", 2)),
+            outlier_removal=bool(mc.get("outlier_removal", False)),
+            max_keyframes=int(mc.get("max_keyframes", 32)),
+        )
+        self.tcfg = TrackerConfig(
+            iterations=int(tc["iterations"]),
+            cam_rot_lr=float(tc["cam_rot_lr"]),
+            cam_trans_lr=float(tc["cam_trans_lr"]),
+            w_color_loss=float(tc["w_color_loss"]),
+            alpha_thre=float(tc["alpha_thre"]),
+            filter_alpha=bool(tc["filter_alpha"]),
+            filter_outlier_depth=bool(tc["filter_outlier_depth"]),
+            soft_alpha=bool(tc["soft_alpha"]),
+            mask_invalid_depth=bool(tc.get("mask_invalid_depth", False)),
+            early_stop_cnt=int(tc["early_stop_cnt"]),
+            init_err_ratio=float(tc["init_err_ratio"]),
+            enable_exposure=bool(tc.get("enable_exposure", False)),
+        )
+        self.gt_camera = bool(tc.get("gt_camera", False))
+        self.odometry_type = str(tc.get("odometry_type", "const_speed"))
+
+        self.logger = Logger(self.output_path, self.verbose,
+                             config.get("use_wandb", False))
+        self.tracker = Tracker(self.tcfg, self.rcfg, self.cam)
+
+        self.odometer = None
+        if self.odometry_type == "odometer" or tc.get(
+            "help_camera_initialization", False
+        ):
+            from ..vo.system import EdgeVO, VOConfig
+
+            self.odometer = EdgeVO(
+                VOConfig.from_dict(self.config.get("vo", {})),
+                self.dataset.full_camera,
+            )
+
+        self.loop_closer = None
+        if config.get("lc", {}).get("enabled", False):
+            from ..lc.loop_closure import LoopClosure
+
+            self.loop_closer = LoopClosure(config, self.output_path, self.cam,
+                                           self.dataset)
+
+        n = len(self.dataset)
+        self.estimated_c2ws = np.tile(np.eye(4), (n, 1, 1))
+        self.exposures_ab = np.zeros((n, 2))
+        self.mapping_frame_ids = list(range(0, n, self.map_every)) + [n - 1]
+
+        self._rng = np.random.default_rng(int(config.get("seed", 0)))
+        self._new_submap()
+        self.submap_id = 0
+        self.submap_anchor_frame = 0
+        self.submap_kf_frame_ids: List[int] = []
+        self.submap_paths: List[str] = []
+        self.track_times: List[float] = []
+        self.map_times: List[float] = []
+
+    # ------------------------------------------------------------------
+    def _setup_output_path(self):
+        if os.path.exists(self.output_path):
+            shutil.rmtree(self.output_path)
+        os.makedirs(self.output_path, exist_ok=True)
+        os.makedirs(os.path.join(self.output_path, "submaps"), exist_ok=True)
+        save_config(self.config, os.path.join(self.output_path, "config.yaml"))
+
+    def _new_submap(self):
+        self.state = G.empty_state(self.capacity)
+        self.kfs = M.empty_keyframes(self.mcfg.max_keyframes, self.cam)
+        self.n_kf = 0  # permanent keyframes in slots 1..n_kf
+
+    def _key(self):
+        return np.asarray(
+            self._rng.integers(0, 2**31 - 1, size=2, dtype=np.uint32)
+        )
+
+    # ------------------------------------------------------------------
+    def should_start_new_submap(self, frame_id: int) -> bool:
+        """Reference gaussian_slam.py:103-117."""
+        if self.motion_heuristic:
+            if exceeds_motion_thresholds(
+                self.estimated_c2ws[frame_id],
+                self.estimated_c2ws[self.submap_anchor_frame],
+                self.rot_thre, self.trans_thre,
+            ):
+                return True
+        return (frame_id - self.submap_anchor_frame) >= self.new_submap_every
+
+    def save_current_submap(self) -> Optional[str]:
+        if not self.submap_kf_frame_ids:
+            return None
+        anchor = self.submap_anchor_frame
+        Twm = self.estimated_c2ws[anchor]
+        if self.submap_id == 0:
+            T_prev_m = Twm
+        else:
+            prev_anchor = self._prev_anchor_frame
+            T_prev_m = np.linalg.inv(self.estimated_c2ws[prev_anchor]) @ Twm
+        Tmc = np.stack(
+            [
+                np.linalg.inv(Twm) @ self.estimated_c2ws[f]
+                for f in self.submap_kf_frame_ids
+            ]
+        )
+        sm = Submap.from_world_arrays(
+            self.submap_id, anchor, Twm, T_prev_m, Tmc,
+            self.submap_kf_frame_ids, pack_state(self.state),
+        )
+        path = sm.save(self.output_path)
+        self.submap_paths.append(path)
+        return path
+
+    def start_new_submap(self, frame_id: int):
+        self._prev_anchor_frame = self.submap_anchor_frame
+        self.submap_id += 1
+        self.submap_anchor_frame = frame_id
+        self.submap_kf_frame_ids = []
+        self._new_submap()
+
+    # ------------------------------------------------------------------
+    def _edge_image(self, frame_id: int, gray255: jnp.ndarray) -> jnp.ndarray:
+        """Edge image for seeding: VO keyframe edges when available, Canny
+        fallback (reference gaussian_slam.py:246-253)."""
+        if self.odometer is not None:
+            e = self.odometer.get_edge_image(frame_id)
+            if e is not None:
+                e = np.asarray(e, bool)
+                c = self.config["cam"].get("crop_edge", 0)
+                if c:
+                    e = e[c:-c, c:-c]
+                if e.shape == (self.cam.height, self.cam.width):
+                    return jnp.asarray(e)
+        return canny(gray255, 100.0, 200.0)
+
+    def map_frame(self, frame_id: int, color_np, depth_np, is_new_submap: bool):
+        c2w = self.estimated_c2ws[frame_id]
+        w2c32 = jnp.asarray(np.linalg.inv(c2w), dtype=jnp.float32)
+        gt_color = jnp.asarray(color_np)
+        gt_depth = jnp.asarray(depth_np)
+        gray255 = rgb_to_gray(gt_color) * 255.0
+        edge_img = self._edge_image(frame_id, gray255)
+        edge_b = edge_img.at[0].set(False).at[-1].set(False)
+        edge_b = edge_b.at[:, 0].set(False).at[:, -1].set(False)
+
+        # 1. seeding mask (reference mapper.py:299-314)
+        if is_new_submap:
+            seeding_mask = dilate(edge_b, self.mcfg.edge_dilate)
+        else:
+            seeding_mask = M.seeding_mask_update(
+                self.state.params, self.state.alive, w2c32, gt_depth,
+                self.cam, self.rcfg, self.mcfg.alpha_thre,
+            )
+
+        # 2. sample seed pixels
+        ids, valid = M.sample_seed_ids(
+            jnp.asarray(self._key()), seeding_mask, gt_depth, gray255,
+            self.mcfg.new_submap_points_num,
+            self.mcfg.new_submap_gradient_points_num,
+            self.mcfg.new_frame_sample_size,
+            is_new_submap,
+        )
+
+        # 3. grow submap
+        pts_w, rgbs = M.backproject_world(
+            gt_color, gt_depth, jnp.asarray(c2w, dtype=jnp.float32), self.cam
+        )
+        self.state, n_added = M.grow_submap(
+            self.state, jnp.asarray(self._key()), ids, valid, pts_w, rgbs,
+            edge_b, gt_depth, self.mcfg.new_points_radius, self.cam,
+            self.cam.height, self.cam.width, True,
+            self.mcfg.outlier_removal and not is_new_submap,
+        )
+
+        # 4. optimize (current frame in slot 0)
+        exposure = jnp.asarray(self.exposures_ab[frame_id], dtype=jnp.float32)
+        self.kfs = M.push_keyframe(self.kfs, 0, gt_color, gt_depth, w2c32, exposure)
+        iters = (
+            self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
+        )
+        self.state, opt = M.optimize_submap(
+            self.state, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
+            jnp.asarray(self._key()), iters, self.cam, self.rcfg, self.mcfg,
+        )
+
+        # 5. make the current frame a permanent keyframe
+        if self.n_kf + 1 < self.mcfg.max_keyframes:
+            self.n_kf += 1
+            self.kfs = M.push_keyframe(
+                self.kfs, self.n_kf, gt_color, gt_depth, w2c32, exposure
+            )
+        self.submap_kf_frame_ids.append(frame_id)
+        return {
+            "n_added": int(n_added),
+            "n_alive": int(G.num_alive(self.state)),
+            "final_loss": float(opt["losses"][-1, 0]),
+        }
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict:
+        n = len(self.dataset)
+        t0 = time.perf_counter()
+        for frame_id in range(n):
+            _, color, depth, gt_pose = self.dataset[frame_id]
+
+            t_track = time.perf_counter()
+            if frame_id in (0, 1) or self.gt_camera:
+                # Frames 0/1 use GT pose (reference :198-206).
+                self.estimated_c2ws[frame_id] = gt_pose
+                if self.odometer is not None:
+                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
+                    if frame_id == 0:
+                        self.odometer.set_pose(0, gt_pose)
+                    self.odometer.step(rgb0, d0, self.dataset.timestamps[frame_id])
+                    self.odometer.set_pose(frame_id, gt_pose)
+            else:
+                candidates = {
+                    "const_speed": np.asarray(
+                        const_speed_extrapolate(
+                            jnp.asarray(self.estimated_c2ws[frame_id - 2]),
+                            jnp.asarray(self.estimated_c2ws[frame_id - 1]),
+                        )
+                    ),
+                    "previous": self.estimated_c2ws[frame_id - 1],
+                }
+                if self.odometer is not None and frame_id >= 3:
+                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
+                    vo_c2w = self.odometer.step(
+                        rgb0, d0, self.dataset.timestamps[frame_id]
+                    )
+                    candidates["odometer"] = vo_c2w
+                elif self.odometer is not None:
+                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
+                    self.odometer.step(rgb0, d0, self.dataset.timestamps[frame_id])
+
+                c2w, exposure, stats = self.tracker.track(
+                    self.state.params, self.state.alive,
+                    self.estimated_c2ws[frame_id - 1], candidates,
+                    jnp.asarray(color), jnp.asarray(depth),
+                )
+                self.estimated_c2ws[frame_id] = c2w
+                self.exposures_ab[frame_id] = np.asarray(exposure)
+                if self.odometer is not None:
+                    self.odometer.set_pose(frame_id, c2w)
+                self.logger.log_tracking(
+                    frame_id, {k: float(v) for k, v in stats.items()}
+                )
+            self.track_times.append(time.perf_counter() - t_track)
+
+            # Submap boundary (reference :220-244).
+            is_new_submap = False
+            if frame_id not in (0,) and self.should_start_new_submap(frame_id):
+                path = self.save_current_submap()
+                if self.loop_closer is not None and path is not None:
+                    self.loop_closer.submit(self.submap_id, frame_id,
+                                            self.estimated_c2ws)
+                self.start_new_submap(frame_id)
+                is_new_submap = True
+
+            if frame_id in self.mapping_frame_ids:
+                t_map = time.perf_counter()
+                stats = self.map_frame(
+                    frame_id, color, depth,
+                    is_new_submap or frame_id == 0,
+                )
+                self.map_times.append(time.perf_counter() - t_map)
+                self.logger.log_mapping(frame_id, stats)
+
+            if self.loop_closer is not None:
+                self.loop_closer.check_futures()
+                corr = self.loop_closer.drain_corrections()
+                if corr is not None:
+                    self.estimated_c2ws = corr
+
+        # Final submap + final LC (reference :278-296).
+        self.save_current_submap()
+        if self.loop_closer is not None:
+            self.loop_closer.submit(self.submap_id + 1, n - 1, self.estimated_c2ws)
+            self.loop_closer.finalize()
+            corr = self.loop_closer.drain_corrections()
+            if corr is not None:
+                self.estimated_c2ws = corr
+
+        total = time.perf_counter() - t0
+        np.savez(
+            os.path.join(self.output_path, "estimated_c2w.npz"),
+            c2ws=self.estimated_c2ws,
+            exposures=self.exposures_ab,
+        )
+        report = {
+            "frames": n,
+            "fps": n / total,
+            "total_s": total,
+            "track_ms_avg": 1e3 * float(np.mean(self.track_times)),
+            "map_ms_avg": 1e3 * float(np.mean(self.map_times)) if self.map_times else 0,
+            "tracker": self.tracker.report(),
+        }
+        self.logger.log("report", report)
+        return report
+
+    def cleanup(self):
+        self.dataset.close()
+        self.logger.close()
+        if self.loop_closer is not None:
+            self.loop_closer.shutdown()

@@ -1,0 +1,414 @@
+"""Keyframe mapping: seeding, submap growth, jitted submap optimization.
+
+Reference: src/entities/mapper.py (262-399 `map`, 114-228 `optimize_submap`,
+230-260 `grow_submap`, seeding mask :299-314, sampling :317-334) and
+src/utils/mapper_utils.py (keyframe distribution :9-23, gradient sampling
+:169-190, radius dedup :193-226, Canny mask :271-290).
+
+TPU re-design:
+  - all sampling is Gumbel-top-k on device (static sample counts + validity
+    masks instead of np.random.choice's dynamic shapes);
+  - `optimize_submap` is ONE jitted `lax.scan` over iterations: keyframe
+    selection, render, loss, masked-Adam step, the two pruning passes, the
+    every-5%-iters best-state checkpoint with rollback-on-bad-prune, and the
+    post-prune early-stop counter all live in the scan carry — no host
+    round-trips inside the hot loop (SURVEY.md §7.3 hard part 7);
+  - SH features are NOT optimized during SLAM (the reference freezes
+    _features_dc/_features_rest after growth, mapper.py:358-359), so the
+    optimized pytree excludes them entirely;
+  - dedup of new points runs against all alive gaussians (the reference
+    first frustum-culls then dedups, mapper.py:338-343; with the default
+    radius this is equivalent for in-frustum candidates and the full masked
+    kNN is one MXU matmul).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera, backproject
+from ..core.gaussians import (GaussianParams, GaussianState, concat_rows,
+                              edge_pair_seeds, edge_rows, insert, point_rows,
+                              prune)
+from ..core.sh import sh_to_rgb
+from ..ops import knn
+from ..ops.image import dilate, gradient_sample_probs
+from ..ops.losses import isotropic_loss, l1_loss, masked_l1, ssim
+from ..ops.rasterizer import RasterConfig, render
+from ..utils import optim
+
+
+class MapperConfig(NamedTuple):
+    iterations: int = 100
+    new_submap_iterations: int = 100
+    new_submap_points_num: int = 100000
+    new_submap_gradient_points_num: int = 50000
+    new_frame_sample_size: int = 30000
+    new_points_radius: float = 1e-7
+    current_view_opt_iterations: float = 0.4
+    alpha_thre: float = 0.6
+    pruning_thre: float = 0.1
+    edge_dilate: int = 2
+    depth_thres: float = 0.025          # edge-pair depth consistency
+    lambda_dssim: float = 0.2
+    outlier_removal: bool = False       # TUM/ScanNet statistical filter
+    max_keyframes: int = 32
+    # 3DGS LRs (reference arguments.py:53-72; xyz schedule barely moves over
+    # <=1k submap iters so the initial value is used).
+    lr_xyz: float = 1e-4
+    lr_scaling: float = 5e-3
+    lr_rotation: float = 1e-3
+    lr_opacity: float = 0.05
+
+
+class KeyframeBatch(NamedTuple):
+    """Fixed-capacity stacked keyframes of the active submap."""
+
+    color: jnp.ndarray      # (K, H, W, 3)
+    depth: jnp.ndarray      # (K, H, W)
+    w2c: jnp.ndarray        # (K, 4, 4)
+    exposure: jnp.ndarray   # (K, 2) (a, b)
+    valid: jnp.ndarray      # (K,) bool
+
+
+def empty_keyframes(k: int, cam: Camera) -> KeyframeBatch:
+    return KeyframeBatch(
+        color=jnp.zeros((k, cam.height, cam.width, 3)),
+        depth=jnp.zeros((k, cam.height, cam.width)),
+        w2c=jnp.tile(jnp.eye(4)[None], (k, 1, 1)),
+        exposure=jnp.zeros((k, 2)),
+        valid=jnp.zeros((k,), bool),
+    )
+
+
+def push_keyframe(kfs: KeyframeBatch, slot, color, depth, w2c, exposure
+                  ) -> KeyframeBatch:
+    return KeyframeBatch(
+        color=kfs.color.at[slot].set(color),
+        depth=kfs.depth.at[slot].set(depth),
+        w2c=kfs.w2c.at[slot].set(w2c),
+        exposure=kfs.exposure.at[slot].set(exposure),
+        valid=kfs.valid.at[slot].set(True),
+    )
+
+
+class OptimizedParams(NamedTuple):
+    """The trainable subset during SLAM mapping (SH features frozen)."""
+
+    xyz: jnp.ndarray
+    log_scales: jnp.ndarray
+    quats: jnp.ndarray
+    opacity_logits: jnp.ndarray
+
+
+def _split(params: GaussianParams) -> OptimizedParams:
+    return OptimizedParams(params.xyz, params.log_scales, params.quats,
+                           params.opacity_logits)
+
+
+def _merge(params: GaussianParams, opt: OptimizedParams) -> GaussianParams:
+    return params._replace(xyz=opt.xyz, log_scales=opt.log_scales,
+                           quats=opt.quats, opacity_logits=opt.opacity_logits)
+
+
+# ---------------------------------------------------------------------------
+# Seeding
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "alpha_thre"))
+def seeding_mask_update(
+    params: GaussianParams, alive, w2c, gt_depth, cam: Camera,
+    rcfg: RasterConfig, alpha_thre: float,
+):
+    """Non-new-submap seeding mask (reference mapper.py:307-314):
+    alpha < thre  OR  (rendered_depth > gt AND depth_err > 40 * median)."""
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, sh_to_rgb(params.f_dc), w2c, cam, rcfg,
+                 alive=alive)
+    valid_d = gt_depth > 0
+    err = jnp.abs(gt_depth - out.depth) * valid_d
+    med = jnp.median(err)
+    depth_mask = (out.depth > gt_depth) & (err > 40.0 * med)
+    return (out.alpha < alpha_thre) | depth_mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_uniform", "n_gradient", "n_mask", "is_new"),
+)
+def sample_seed_ids(
+    key, seeding_mask, gt_depth, gray, n_uniform: int, n_gradient: int,
+    n_mask: int, is_new: bool,
+):
+    """Seed pixel ids, fixed size, validity-masked.
+
+    New submap (reference :320-326): union(uniform U, gradient-weighted G,
+    all mask pixels capped at n_mask) with duplicates removed.
+    Update (:327-331): up to n_mask pixels uniformly from the seeding mask.
+    Zero-depth pixels are dropped (:332-333).
+    """
+    p = seeding_mask.size
+    flat_mask = seeding_mask.reshape(-1) & (gt_depth.reshape(-1) > 0)
+
+    def gumbel_topk(k2, logits, n):
+        g = jax.random.gumbel(k2, logits.shape)
+        _, idx = jax.lax.top_k(logits + g, n)
+        return idx.astype(jnp.int32)
+
+    if is_new:
+        k1, k2, k3 = jax.random.split(key, 3)
+        uni = gumbel_topk(k1, jnp.zeros((p,)), n_uniform)
+        grad_logits = jnp.log(gradient_sample_probs(gray) + 1e-12)
+        grd = gumbel_topk(k2, grad_logits, n_gradient)
+        mask_logits = jnp.where(flat_mask, 0.0, -jnp.inf)
+        msk = gumbel_topk(k3, mask_logits, n_mask)
+        msk_valid = flat_mask[msk]
+        ids = jnp.concatenate([uni, grd, msk])
+        valid = jnp.concatenate(
+            [jnp.ones((n_uniform + n_gradient,), bool), msk_valid]
+        )
+        # unique: sort and drop adjacent equals
+        order = jnp.argsort(jnp.where(valid, ids, jnp.iinfo(jnp.int32).max))
+        s_ids = ids[order]
+        s_val = valid[order]
+        dup = jnp.concatenate([jnp.array([False]), s_ids[1:] == s_ids[:-1]])
+        ids, valid = s_ids, s_val & ~dup
+    else:
+        mask_logits = jnp.where(flat_mask, 0.0, -jnp.inf)
+        ids = gumbel_topk(key, mask_logits, n_mask)
+        valid = flat_mask[ids]
+
+    valid = valid & (gt_depth.reshape(-1)[ids] > 0)
+    return ids, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def backproject_world(gt_color, gt_depth, c2w, cam: Camera):
+    """(H*W, 3) world points (at 1.0001 * depth, reference :318) + colors."""
+    pts_cam = backproject(cam, 1.0001 * gt_depth)
+    R, t = c2w[:3, :3], c2w[:3, 3]
+    pts_w = pts_cam.reshape(-1, 3) @ R.T + t
+    return pts_w, gt_color.reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Growth
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "height", "width", "use_edge", "outlier"))
+def grow_submap(
+    state: GaussianState,
+    key,
+    sample_ids, sample_valid,
+    all_pts_w, all_rgb,
+    edge_img, gt_depth,
+    radius: float,
+    cam: Camera, height: int, width: int,
+    use_edge: bool, outlier: bool,
+    depth_thres: float = 0.025,
+) -> Tuple[GaussianState, jnp.ndarray]:
+    """Dedup new samples vs the submap, optional outlier filter, then insert
+    point gaussians (+ edge gaussians when an edge image is available)."""
+    cand = all_pts_w[sample_ids]
+    keep = radius_keep = knn.radius_dedup(
+        cand, sample_valid, state.params.xyz, state.alive, radius
+    )
+    if outlier:
+        keep = keep & knn.statistical_inlier_mask(cand, keep, nb=20)
+    sample_valid = keep
+
+    # Scale init: kNN over (alive submap + new samples), like the reference's
+    # global_scale_init distCUDA2 over the concatenated cloud (:251-255).
+    union_pts = jnp.concatenate([state.params.xyz, cand], axis=0)
+    union_mask = jnp.concatenate([state.alive, sample_valid], axis=0)
+    dist2 = knn.mean_sq_dist_knn(union_pts, union_mask)[state.alive.shape[0]:]
+
+    if use_edge:
+        (_, _, pair_valid, exyz, ergb, elog_s, equat, member) = edge_pair_seeds(
+            sample_ids, sample_valid, edge_img, gt_depth,
+            all_pts_w, all_rgb, height, width, depth_thres,
+        )
+        opacity = jnp.where(member, 0.1, 0.5)
+        rows = concat_rows(
+            point_rows(cand, all_rgb[sample_ids], dist2, opacity),
+            edge_rows(exyz, ergb, elog_s, equat),
+        )
+        valid = jnp.concatenate([sample_valid, pair_valid])
+    else:
+        rows = point_rows(cand, all_rgb[sample_ids], dist2,
+                          jnp.full(sample_ids.shape, 0.5))
+        valid = sample_valid
+
+    return insert(state, rows, valid)
+
+
+# ---------------------------------------------------------------------------
+# Submap optimization (the #1 hot loop)
+# ---------------------------------------------------------------------------
+
+
+def _keyframe_distribution(n_kf, k_max: int, cur_frac: float):
+    """P(keyframe): index 0 (current frame) gets `cur_frac`, the remaining
+    mass is uniform over the other valid keyframes (mapper_utils.py:9-23)."""
+    idx = jnp.arange(k_max)
+    valid = idx < n_kf
+    others = jnp.maximum(n_kf - 1, 1)
+    p = jnp.where(idx == 0, cur_frac, (1.0 - cur_frac) / others)
+    p = jnp.where(valid, p, 0.0)
+    return p / jnp.sum(p)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg"))
+def optimize_submap(
+    state: GaussianState,
+    kfs: KeyframeBatch,
+    n_kf,
+    key,
+    iterations: int,
+    cam: Camera,
+    rcfg: RasterConfig,
+    mcfg: MapperConfig,
+) -> Tuple[GaussianState, dict]:
+    """Jitted optimization scan. Keyframe 0 is the current frame.
+
+    Per iteration (reference mapper.py:143-214): sample keyframe (first 5
+    iters pinned to the current frame), render, loss = (1-lambda) L1_masked +
+    lambda (1-SSIM) + L1_depth_masked + isotropic reg, Adam step. Every 5%
+    iters snapshot best-(params, adam); at 30%/60% iters roll back if the
+    current loss is worse than the snapshot, then prune opacity < thre.
+    After the last prune an early-stop counter freezes updates once the loss
+    exceeds 1.15x the best for >5% consecutive iters. Final prune < 0.01.
+    """
+    frozen = state.params
+    ckpt_every = max(int(0.05 * iterations), 1)
+    early_thre = max(int(0.05 * iterations), 1)
+    prune_iters = (int(0.3 * iterations), int(0.6 * iterations))
+    p_kf = _keyframe_distribution(n_kf, mcfg.max_keyframes,
+                                  mcfg.current_view_opt_iterations)
+    lr_tree = OptimizedParams(
+        xyz=mcfg.lr_xyz, log_scales=mcfg.lr_scaling,
+        quats=mcfg.lr_rotation, opacity_logits=mcfg.lr_opacity,
+    )
+
+    def loss_fn(opt: OptimizedParams, alive, kidx):
+        params = _merge(frozen, opt)
+        gt_color = kfs.color[kidx]
+        gt_depth = kfs.depth[kidx]
+        w2c = kfs.w2c[kidx]
+        exp_a, exp_b = kfs.exposure[kidx, 0], kfs.exposure[kidx, 1]
+        out = render(params.xyz, params.quats, params.log_scales,
+                     params.opacity_logits, sh_to_rgb(params.f_dc),
+                     w2c, cam, rcfg, alive=alive)
+        image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
+        mask = (gt_depth > 0) & ~jnp.isnan(out.depth)
+        m3 = mask[..., None].astype(image.dtype)
+        color_l1 = masked_l1(image, gt_color, jnp.tile(m3, (1, 1, 3)))
+        color_loss = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
+            1.0 - ssim(image, gt_color)
+        )
+        depth_loss = masked_l1(out.depth, gt_depth, mask.astype(image.dtype))
+        reg = isotropic_loss(params.log_scales, alive)
+        total = color_loss + depth_loss + reg
+        return total, (color_loss, depth_loss)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    class Carry(NamedTuple):
+        opt: OptimizedParams
+        adam: optim.AdamState
+        alive: jnp.ndarray
+        best_loss: jnp.ndarray
+        ckpt_opt: OptimizedParams
+        ckpt_adam: optim.AdamState
+        has_ckpt: jnp.ndarray
+        early_cnt: jnp.ndarray
+        stopped: jnp.ndarray
+        key: jax.Array
+
+    def step(c: Carry, it):
+        key, k_sel = jax.random.split(c.key)
+        kidx = jnp.where(
+            it < 5, 0, jax.random.categorical(k_sel, jnp.log(p_kf + 1e-12))
+        ).astype(jnp.int32)
+        (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx)
+        gmask = c.alive.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+        )
+        do_update = ~c.stopped
+        new_opt, new_adam = optim.adam_update(c.adam, c.opt, grads, lr_tree)
+        opt = jax.tree.map(
+            lambda n, o: jnp.where(do_update, n, o), new_opt, c.opt
+        )
+        adam = jax.tree.map(
+            lambda n, o: jnp.where(do_update, n, o), new_adam, c.adam
+        )
+
+        # Checkpoint best state every 5% iters (reference :192-198).
+        is_ckpt_iter = (it % ckpt_every == 0) & (it != 0)
+        improved = total < c.best_loss
+        take = is_ckpt_iter & improved & do_update
+        ckpt_opt = jax.tree.map(lambda n, o: jnp.where(take, n, o), opt, c.ckpt_opt)
+        ckpt_adam = jax.tree.map(
+            lambda n, o: jnp.where(take, n, o), adam, c.ckpt_adam
+        )
+        best_loss = jnp.where(take, total, c.best_loss)
+        has_ckpt = c.has_ckpt | take
+
+        # Prune (+ rollback to checkpoint when the prune-time loss is worse).
+        is_prune = (it == prune_iters[0]) | (it == prune_iters[1])
+        rollback = is_prune & has_ckpt & (best_loss < total)
+        opt = jax.tree.map(lambda ck, o: jnp.where(rollback, ck, o), ckpt_opt, opt)
+        adam = jax.tree.map(
+            lambda ck, a: jnp.where(rollback, ck, a), ckpt_adam, adam
+        )
+        kill = is_prune & c.alive & (
+            jax.nn.sigmoid(opt.opacity_logits[:, 0]) < mcfg.pruning_thre
+        )
+        alive = c.alive & ~kill
+        best_loss = jnp.where(is_prune, jnp.inf, best_loss)
+        has_ckpt = has_ckpt & ~is_prune
+
+        # Early stop after the last prune (reference :181-190).
+        after = it > prune_iters[1]
+        bad = after & has_ckpt & (total - best_loss > 0.15 * best_loss)
+        early_cnt = jnp.where(bad, c.early_cnt + 1, 0)
+        stopped = c.stopped | (early_cnt > early_thre)
+
+        return (
+            Carry(opt, adam, alive, best_loss, ckpt_opt, ckpt_adam, has_ckpt,
+                  early_cnt, stopped, key),
+            jnp.stack([total, cl, dl]),
+        )
+
+    opt0 = _split(state.params)
+    init = Carry(
+        opt=opt0,
+        adam=optim.adam_init(opt0),
+        alive=state.alive,
+        best_loss=jnp.array(jnp.inf),
+        ckpt_opt=opt0,
+        ckpt_adam=optim.adam_init(opt0),
+        has_ckpt=jnp.array(False),
+        early_cnt=jnp.zeros((), jnp.int32),
+        stopped=jnp.array(False),
+        key=key,
+    )
+    final, losses = jax.lax.scan(step, init, jnp.arange(iterations))
+
+    # Final rollback + prune < 0.01 (reference :216-223).
+    roll = final.has_ckpt & (final.best_loss < losses[-1, 0])
+    opt = jax.tree.map(
+        lambda ck, o: jnp.where(roll, ck, o), final.ckpt_opt, final.opt
+    )
+    alive = final.alive & (jax.nn.sigmoid(opt.opacity_logits[:, 0]) >= 0.01)
+    new_state = GaussianState(
+        params=_merge(frozen, opt), alive=alive, adam=state.adam
+    )
+    return new_state, {"losses": losses}

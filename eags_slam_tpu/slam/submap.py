@@ -1,0 +1,157 @@
+"""Submap serialization unit (checkpoint + loop-closure interface).
+
+Reference: src/entities/submap.py — gaussians are stored in the submap
+(anchor-keyframe) frame, keyframe poses as `Tmc` relative to the anchor,
+submaps chained by `T_prev_m` (:72-107); `restore_gauss` re-anchors into
+world by composing `Twm = Twm_prev @ T_prev_m` and rotating means+quats in
+float64 (:39-70); files `submaps/%06d` (:109-124).
+
+Here the file format is npz (torch.save is a torch-world choice); pose
+chaining runs in host numpy float64 (SURVEY.md §7.3 hard part 6: TPU f64 is
+weak, but the chains live on host anyway). Storing gaussians anchor-relative
+is what lets loop closure correct a whole submap by touching only `T_prev_m`
+(lc.py:589-596).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+
+def _rotmat_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """f64 matrix -> wxyz quaternion (single)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def _quat_mul_np(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Hamilton product, q1 single (4,), q2 batch (N, 4)."""
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2[:, 0], q2[:, 1], q2[:, 2], q2[:, 3]
+    return np.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+@dataclass
+class Submap:
+    submap_id: int
+    kf_id: int                      # global frame id of the anchor keyframe
+    T_prev_m: np.ndarray            # (4,4) f64: anchor in previous anchor's frame
+    Tmc: np.ndarray                 # (K,4,4) f64: keyframe poses in anchor frame
+    kf_frame_ids: List[int]
+    gaussians: Dict[str, np.ndarray] = field(default_factory=dict)
+    # anchor-frame packed arrays: xyz, f_dc, f_rest, log_scales, quats,
+    # opacity_logits
+
+    @staticmethod
+    def from_world_arrays(
+        submap_id: int, kf_id: int, Twm: np.ndarray, T_prev_m: np.ndarray,
+        Tmc: np.ndarray, kf_frame_ids: List[int], world_gauss: Dict[str, np.ndarray],
+    ) -> "Submap":
+        """Convert world-frame packed gaussians into the anchor frame (f64
+        rotation of means + quaternions, reference submap.py:72-107)."""
+        T_mw = np.linalg.inv(np.asarray(Twm, np.float64))
+        R, t = T_mw[:3, :3], T_mw[:3, 3]
+        q_mw = _rotmat_to_quat_np(R)
+        g = dict(world_gauss)
+        g["xyz"] = (world_gauss["xyz"].astype(np.float64) @ R.T + t).astype(
+            np.float32
+        )
+        g["quats"] = _quat_mul_np(
+            q_mw, world_gauss["quats"].astype(np.float64)
+        ).astype(np.float32)
+        return Submap(submap_id, kf_id, np.asarray(T_prev_m, np.float64),
+                      np.asarray(Tmc, np.float64), list(kf_frame_ids), g)
+
+    def restore_world(self, Twm: np.ndarray) -> Dict[str, np.ndarray]:
+        """Anchor-frame gaussians -> world frame given the (possibly
+        loop-corrected) anchor pose (reference restore_gauss :39-70)."""
+        T = np.asarray(Twm, np.float64)
+        R, t = T[:3, :3], T[:3, 3]
+        q_wm = _rotmat_to_quat_np(R)
+        out = dict(self.gaussians)
+        out["xyz"] = (self.gaussians["xyz"].astype(np.float64) @ R.T + t).astype(
+            np.float32
+        )
+        out["quats"] = _quat_mul_np(
+            q_wm, self.gaussians["quats"].astype(np.float64)
+        ).astype(np.float32)
+        return out
+
+    def path(self, out_dir: str) -> str:
+        return os.path.join(out_dir, "submaps", f"{self.submap_id:06d}.npz")
+
+    def save(self, out_dir: str) -> str:
+        p = self.path(out_dir)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        np.savez_compressed(
+            p,
+            submap_id=self.submap_id,
+            kf_id=self.kf_id,
+            T_prev_m=self.T_prev_m,
+            Tmc=self.Tmc,
+            kf_frame_ids=np.asarray(self.kf_frame_ids, np.int64),
+            **{f"g_{k}": v for k, v in self.gaussians.items()},
+        )
+        return p
+
+    @staticmethod
+    def load(path: str) -> "Submap":
+        z = np.load(path)
+        gauss = {k[2:]: z[k] for k in z.files if k.startswith("g_")}
+        return Submap(
+            submap_id=int(z["submap_id"]),
+            kf_id=int(z["kf_id"]),
+            T_prev_m=z["T_prev_m"],
+            Tmc=z["Tmc"],
+            kf_frame_ids=list(z["kf_frame_ids"]),
+            gaussians=gauss,
+        )
+
+
+def pack_state(state) -> Dict[str, np.ndarray]:
+    """Alive rows of a GaussianState -> host numpy dict (world frame)."""
+    alive = np.asarray(state.alive)
+    return {
+        "xyz": np.asarray(state.params.xyz)[alive],
+        "f_dc": np.asarray(state.params.f_dc)[alive],
+        "f_rest": np.asarray(state.params.f_rest)[alive],
+        "log_scales": np.asarray(state.params.log_scales)[alive],
+        "quats": np.asarray(state.params.quats)[alive],
+        "opacity_logits": np.asarray(state.params.opacity_logits)[alive],
+    }

@@ -1,0 +1,303 @@
+"""Edge-VO system: frame lifecycle, keyframe policy, pose graph.
+
+Replaces the C++ REVO system (VO/system/system.{h,cpp} + tracker.{h,cpp}):
+  - per-frame pyramid build + coarse-to-fine LM tracking over levels
+    (tracker.cpp:357-376);
+  - constant-velocity init from the pose graph (system.cpp:105-112) with the
+    coarsest-level sanity check identity-vs-init (tracker.cpp:292-314);
+  - keyframe decision A: good/bad edge-point ratio < 4 (tracker.cpp:394-395);
+  - keyframe decision B: histogram voting over the last
+    `n_frames_histogram_voting`(=3) reprojected edge clouds with weights
+    (0, 1, 1.25, 1.5): NEW_KF when sum(w_i * overlap_i) < overlap_0
+    (`assessTrackingQuality`, tracker.cpp:120-226);
+  - on NEW_KF: promote the PREVIOUS frame to keyframe and re-track
+    (system.cpp:121-140);
+  - pose graph Pose{T_kf_curr, kf} with world pose T_w_kf @ T_kf_curr and
+    external pose injection `setTwc` (system.h:88-134, system.cpp:167-182);
+  - `report()` timing summary (system.cpp:212-255).
+
+All numerics run as jitted device programs; this module is the thin host
+state machine around them (the same role system.cpp's control flow plays).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from collections import deque
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from .lm import LMResult, LMSettings, lm_align
+from .pyramid import FramePyramid, build_pyramid, make_keyframe
+
+
+class VOConfig(NamedTuple):
+    levels: int = 3
+    min_level: int = 0
+    canny_low: float = 100.0
+    canny_high: float = 200.0
+    depth_min: float = 0.1
+    depth_max: float = 10.0
+    max_edge_points: int = 8192
+    huber_edge: float = 0.3
+    dist_filter: tuple = (30.0, 20.0, 10.0, 5.0, 5.0, 5.0)
+    lm_max_iters: int = 100
+    lm_eps: float = 0.999
+    n_frames_histogram_voting: int = 3
+    hist_weights: tuple = (0.0, 1.0, 1.25, 1.5)
+    histogram_level: int = 1
+    good_bad_ratio: float = 4.0
+    dt_window: int = 32
+
+    @staticmethod
+    def from_dict(d: Dict) -> "VOConfig":
+        return VOConfig(
+            levels=int(d.get("pyramid_levels", 3)),
+            min_level=int(d.get("min_level", 0)),
+            canny_low=float(d.get("canny_low", 100.0)),
+            canny_high=float(d.get("canny_high", 200.0)),
+            depth_min=float(d.get("depth_min", 0.1)),
+            depth_max=float(d.get("depth_max", 10.0)),
+            max_edge_points=int(d.get("max_edge_points", 8192)),
+            huber_edge=float(d.get("huber_edge", 0.3)),
+            dist_filter=tuple(d.get("edge_distance_filter",
+                                    (30.0, 20.0, 10.0, 5.0, 5.0, 5.0))),
+            lm_max_iters=int(d.get("lm_max_iters", 100)),
+            lm_eps=float(d.get("lm_eps", 0.999)),
+            good_bad_ratio=float(d.get("good_bad_ratio", 4.0)),
+            dt_window=int(d.get("dt_window", 32)),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _histogram_voting(
+    past_pts, past_valid, rel_transforms, curr_edges, curr_depth,
+    depth_min, depth_max, cam: Camera,
+):
+    """Weighted-overlap histogram KF test (tracker.cpp:120-226).
+
+    past_pts: (F, P, 3) past edge clouds (histogram level); rel_transforms:
+    (F, 4, 4) past-frame -> current-frame. Returns (overlap_counts (F+1,),)
+    where index i counts current *edge* pixels hit by exactly i clouds.
+    """
+    f = past_pts.shape[0]
+    h, w = curr_edges.shape
+
+    def one_cloud(pts, valid, T):
+        p = pts @ T[:3, :3].T + T[:3, 3]
+        z = jnp.maximum(p[:, 2], 1e-6)
+        u = jnp.floor(p[:, 0] / z * cam.fx + cam.cx).astype(jnp.int32)
+        v = jnp.floor(p[:, 1] / z * cam.fy + cam.cy).astype(jnp.int32)
+        ok = valid & (p[:, 2] > 1e-6) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        flat = jnp.where(ok, v * w + u, h * w)
+        m = jnp.zeros((h * w,), jnp.int32).at[flat].set(1, mode="drop")
+        return m
+
+    M = jnp.sum(jax.vmap(one_cloud)(past_pts, past_valid, rel_transforms),
+                axis=0).reshape(h, w)
+    valid_px = (curr_depth > depth_min) & (curr_depth < depth_max)
+    edge_px = curr_edges & valid_px
+    counts = jnp.stack(
+        [jnp.sum(edge_px & (M == i)) for i in range(f + 1)]
+    )
+    return counts
+
+
+@dataclass
+class _Keyframe:
+    frame_id: int
+    pyramid: FramePyramid
+    dt_levels: tuple
+    T_w_kf: np.ndarray  # (4,4) f64
+
+
+class EdgeVO:
+    """Public surface mirrors the pybind module (VO/pybind/vo.cpp:17-36):
+    `step(rgb, depth, ts) -> Twc`, `set_pose/ get_pose` (setTwc/getTwc),
+    `get_edge_image`, `report`."""
+
+    def __init__(self, cfg: VOConfig, cam: Camera):
+        self.cfg = cfg
+        self.cam = cam
+        self.keyframes: List[_Keyframe] = []
+        # pose graph: per frame (kf_index, T_kf_frame f64)
+        self.graph: List[tuple] = []
+        self.edge_cache: Dict[int, np.ndarray] = {}
+        self.prev_pyramid: Optional[FramePyramid] = None
+        self.past_clouds = deque(maxlen=cfg.n_frames_histogram_voting)
+        self.track_times: List[float] = []
+        self.dt_times: List[float] = []
+        self._start_pose = np.eye(4)
+
+    # -- pose graph ---------------------------------------------------------
+    def _world_pose(self, frame_id: int) -> np.ndarray:
+        kf_idx, T_kf_frame = self.graph[frame_id]
+        return self.keyframes[kf_idx].T_w_kf @ T_kf_frame
+
+    def get_pose(self, frame_id: int) -> np.ndarray:
+        return self._world_pose(frame_id)
+
+    def set_pose(self, frame_id: int, c2w: np.ndarray):
+        """External pose injection (REVO::setPose system.cpp:167-182)."""
+        c2w = np.asarray(c2w, np.float64)
+        if frame_id >= len(self.graph):
+            self._start_pose = c2w
+            return
+        kf_idx, _ = self.graph[frame_id]
+        kf = self.keyframes[kf_idx]
+        if kf.frame_id == frame_id:
+            kf.T_w_kf = c2w
+            self.graph[frame_id] = (kf_idx, np.eye(4))
+        else:
+            self.graph[frame_id] = (kf_idx, np.linalg.inv(kf.T_w_kf) @ c2w)
+
+    def get_edge_image(self, frame_id: int) -> Optional[np.ndarray]:
+        return self.edge_cache.get(frame_id)
+
+    # -- tracking -----------------------------------------------------------
+    def _lm_settings(self, lvl: int) -> LMSettings:
+        df = self.cfg.dist_filter
+        return LMSettings(
+            huber_edge=self.cfg.huber_edge,
+            max_iters=self.cfg.lm_max_iters,
+            eps=self.cfg.lm_eps,
+            dist_filter=float(df[min(lvl, len(df) - 1)]),
+        )
+
+    def _track_against(self, kf: _Keyframe, pyr: FramePyramid,
+                       T_kf_cur_init: np.ndarray):
+        """Coarse-to-fine LM over pyramid levels. Returns (T_kf_cur, result)."""
+        R = jnp.asarray(T_kf_cur_init[:3, :3], dtype=jnp.float32)
+        t = jnp.asarray(T_kf_cur_init[:3, 3], dtype=jnp.float32)
+        res = None
+        for lvl in range(self.cfg.levels - 1, self.cfg.min_level - 1, -1):
+            level = pyr.levels[lvl]
+            dtl = kf.dt_levels[lvl]
+            cam_l = self.cam.scaled(lvl)
+            # Coarsest level: identity-vs-init sanity check
+            # (tracker.cpp:292-314).
+            if lvl == self.cfg.levels - 1:
+                res_init = lm_align(level.pts, level.pts_valid, dtl.gx, dtl.gy,
+                                    dtl.dt, R, t, cam_l, self._lm_settings(lvl))
+                eyeR = jnp.eye(3)
+                zt = jnp.zeros(3)
+                res_eye = lm_align(level.pts, level.pts_valid, dtl.gx, dtl.gy,
+                                   dtl.dt, eyeR, zt, cam_l, self._lm_settings(lvl))
+                if float(res_eye.cost) < float(res_init.cost):
+                    res = res_eye
+                else:
+                    res = res_init
+            else:
+                res = lm_align(level.pts, level.pts_valid, dtl.gx, dtl.gy,
+                               dtl.dt, R, t, cam_l, self._lm_settings(lvl))
+            R, t = res.R, res.t
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(R, np.float64)
+        T[:3, 3] = np.asarray(t, np.float64)
+        return T, res
+
+    def _needs_new_kf(self, res: LMResult, T_w_cur: np.ndarray,
+                      pyr: FramePyramid) -> bool:
+        good, bad = int(res.good), int(res.bad)
+        if bad > 0 and good / max(bad, 1) < self.cfg.good_bad_ratio:
+            return True
+        if len(self.past_clouds) < self.cfg.n_frames_histogram_voting:
+            return False
+        hl = min(self.cfg.histogram_level, self.cfg.levels - 1)
+        cam_l = self.cam.scaled(hl)
+        pts = jnp.stack([c[0] for c in self.past_clouds])
+        val = jnp.stack([c[1] for c in self.past_clouds])
+        rels = np.stack(
+            [np.linalg.inv(T_w_cur) @ c[2] for c in self.past_clouds]
+        ).astype(np.float32)
+        counts = np.asarray(
+            _histogram_voting(
+                pts, val, jnp.asarray(rels), pyr.levels[hl].edges,
+                pyr.levels[hl].depth, self.cfg.depth_min, self.cfg.depth_max,
+                cam_l,
+            )
+        )
+        w = self.cfg.hist_weights
+        overlap = sum(float(counts[i]) * w[min(i, len(w) - 1)]
+                      for i in range(1, len(counts)))
+        return overlap < float(counts[0])
+
+    def _promote_keyframe(self, frame_id: int, pyr: FramePyramid,
+                          T_w_frame: np.ndarray):
+        t0 = time.perf_counter()
+        dt_levels = make_keyframe(pyr, self.cfg.dt_window)
+        jax.block_until_ready(dt_levels[0].dt)
+        self.dt_times.append(time.perf_counter() - t0)
+        self.keyframes.append(
+            _Keyframe(frame_id, pyr, dt_levels, np.asarray(T_w_frame, np.float64))
+        )
+
+    def step(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float
+             ) -> np.ndarray:
+        """Process one frame; returns Twc (4,4) float64."""
+        t0 = time.perf_counter()
+        frame_id = len(self.graph)
+        pyr = build_pyramid(
+            rgb, depth, self.cam, self.cfg.levels, self.cfg.max_edge_points,
+            self.cfg.canny_low, self.cfg.canny_high, self.cfg.depth_min,
+            self.cfg.depth_max, timestamp,
+        )
+        self.edge_cache[frame_id] = np.asarray(pyr.levels[0].edges)
+        for k in [k for k in self.edge_cache if k < frame_id - 4]:
+            del self.edge_cache[k]
+
+        if frame_id == 0:
+            self._promote_keyframe(0, pyr, self._start_pose)
+            self.graph.append((0, np.eye(4)))
+            self.prev_pyramid = pyr
+            self.track_times.append(time.perf_counter() - t0)
+            return self._world_pose(0)
+
+        # Constant-velocity init (system.cpp:105-112).
+        T_w_prev = self._world_pose(frame_id - 1)
+        if frame_id >= 2:
+            T_w_prev2 = self._world_pose(frame_id - 2)
+            T_w_init = T_w_prev @ (np.linalg.inv(T_w_prev2) @ T_w_prev)
+        else:
+            T_w_init = T_w_prev
+
+        kf_idx = len(self.keyframes) - 1
+        kf = self.keyframes[kf_idx]
+        T_kf_cur_init = np.linalg.inv(kf.T_w_kf) @ T_w_init
+        T_kf_cur, res = self._track_against(kf, pyr, T_kf_cur_init)
+
+        T_w_cur = kf.T_w_kf @ T_kf_cur
+        if self._needs_new_kf(res, T_w_cur, pyr) and self.prev_pyramid is not None:
+            # Promote the previous frame and re-track (system.cpp:121-140).
+            self._promote_keyframe(frame_id - 1, self.prev_pyramid,
+                                   self._world_pose(frame_id - 1))
+            kf_idx = len(self.keyframes) - 1
+            kf = self.keyframes[kf_idx]
+            T_kf_cur_init = np.linalg.inv(kf.T_w_kf) @ T_w_init
+            T_kf_cur, res = self._track_against(kf, pyr, T_kf_cur_init)
+            T_w_cur = kf.T_w_kf @ T_kf_cur
+
+        self.graph.append((kf_idx, T_kf_cur))
+
+        # Past-cloud deque for histogram voting (tracker.cpp:235-250).
+        hl = min(self.cfg.histogram_level, self.cfg.levels - 1)
+        self.past_clouds.append(
+            (pyr.levels[hl].pts, pyr.levels[hl].pts_valid, T_w_cur)
+        )
+        self.prev_pyramid = pyr
+        self.track_times.append(time.perf_counter() - t0)
+        return T_w_cur
+
+    def report(self) -> Dict:
+        return {
+            "n_keyframes": len(self.keyframes),
+            "mean_track_ms": 1e3 * float(np.mean(self.track_times))
+            if self.track_times else 0.0,
+            "mean_dt_ms": 1e3 * float(np.mean(self.dt_times))
+            if self.dt_times else 0.0,
+        }

@@ -1,0 +1,77 @@
+"""Loop-closure components: descriptor, PGO, ICP registration."""
+import jax.numpy as jnp
+import numpy as np
+
+from eags_slam_tpu.core.se3 import se3_exp
+from eags_slam_tpu.lc.descriptor import GlobalDesc
+from eags_slam_tpu.lc.pgo import PoseGraph, optimize_pose_graph
+from eags_slam_tpu.lc.solver import icp_registration
+
+
+def test_descriptor_similarity(rng):
+    desc = GlobalDesc()
+    img = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    d1 = np.asarray(desc(img))
+    assert abs(np.linalg.norm(d1) - 1.0) < 1e-4
+    # Same image -> sim 1; slightly shifted -> still high; different -> lower.
+    d2 = np.asarray(desc(np.roll(img, 2, axis=1)))
+    other = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    # Make 'other' structurally different (smooth gradient vs noise).
+    other = np.linspace(0, 1, 64)[None, :, None] * np.ones((48, 1, 3), np.float32)
+    d3 = np.asarray(desc(other))
+    assert d1 @ d2 > 0.9
+    assert d1 @ d2 > d1 @ d3
+
+
+def test_pgo_corrects_drift(rng):
+    """Chain of 6 nodes with drifted odometry + one exact loop edge 0->5."""
+    n = 6
+    true_poses = [np.eye(4)]
+    step = np.asarray(se3_exp(jnp.asarray([0.5, 0.0, 0.0, 0.0, 0.2, 0.0])))
+    for i in range(1, n):
+        true_poses.append(true_poses[-1] @ step)
+    true_poses = np.stack(true_poses)
+
+    # Estimated poses: accumulate noisy odometry.
+    est = [np.eye(4)]
+    noises = []
+    for i in range(1, n):
+        noise = np.asarray(
+            se3_exp(jnp.asarray(0.03 * rng.normal(size=6).astype(np.float32)))
+        )
+        noises.append(noise)
+        est.append(est[-1] @ step @ noise)
+    est = np.stack(est)
+
+    edges_ij = [(i, i + 1) for i in range(n - 1)] + [(0, n - 1)]
+    # Odometry edges measure the (noisy) relative transform actually
+    # accumulated; the loop edge measures the TRUE relative transform.
+    edges_T = [np.linalg.inv(est[i]) @ est[i + 1] for i in range(n - 1)]
+    edges_T.append(np.linalg.inv(true_poses[0]) @ true_poses[n - 1])
+    info = [1.0] * (n - 1) + [5.0]
+
+    graph = PoseGraph(
+        poses=jnp.asarray(est, dtype=jnp.float32),
+        edges_ij=jnp.asarray(np.asarray(edges_ij, np.int32)),
+        edges_T=jnp.asarray(np.stack(edges_T), dtype=jnp.float32),
+        edges_info=jnp.asarray(np.asarray(info, np.float32)),
+        edges_valid=jnp.ones((len(edges_ij),), bool),
+    )
+    corrected = np.asarray(optimize_pose_graph(graph, iters=15))
+
+    err_before = np.linalg.norm(est[n - 1][:3, 3] - true_poses[n - 1][:3, 3])
+    err_after = np.linalg.norm(
+        corrected[n - 1][:3, 3] - true_poses[n - 1][:3, 3]
+    )
+    assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def test_icp_registration(rng):
+    pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    T = np.asarray(se3_exp(jnp.asarray([0.05, -0.03, 0.02, 0.02, 0.03, -0.01])))
+    # Target cloud = source misaligned by inv(T): correction should be ~T.
+    tgt = pts @ np.linalg.inv(T)[:3, :3].T + np.linalg.inv(T)[:3, 3]
+    res = icp_registration({"xyz": pts}, {"xyz": tgt.astype(np.float32)})
+    assert res.successful
+    err = np.linalg.norm(res.transformation - T)
+    assert err < 0.02, (err, res.transformation, T)

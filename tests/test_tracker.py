@@ -1,0 +1,88 @@
+"""Tracker refinement: recover a perturbed camera pose on a small scene."""
+import jax.numpy as jnp
+import numpy as np
+
+from eags_slam_tpu.core.camera import Camera
+from eags_slam_tpu.core.gaussians import GaussianParams
+from eags_slam_tpu.core.se3 import se3_exp
+from eags_slam_tpu.core.sh import rgb_to_sh, sh_to_rgb
+from eags_slam_tpu.ops.rasterizer import RasterConfig, render
+from eags_slam_tpu.slam.tracker import (TrackerConfig, eval_init_candidates,
+                                        refine_pose)
+
+CAM = Camera(fx=60.0, fy=60.0, cx=31.5, cy=23.5, width=64, height=48)
+RCFG = RasterConfig(tile=16, dup_side=4, tile_capacity=128, chunk=32)
+TCFG = TrackerConfig(iterations=60, alpha_thre=0.5, early_stop_cnt=60)
+
+
+def _scene(rng, n=400):
+    means = np.stack(
+        [rng.uniform(-1.2, 1.2, n), rng.uniform(-0.9, 0.9, n),
+         rng.uniform(1.5, 3.5, n)], axis=-1,
+    ).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    params = GaussianParams(
+        xyz=jnp.asarray(means),
+        f_dc=rgb_to_sh(jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32))),
+        f_rest=jnp.zeros((n, 15, 3)),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(0.05, 0.15, (n, 3))).astype(np.float32)
+        ),
+        quats=jnp.asarray(q),
+        opacity_logits=jnp.asarray(rng.uniform(1, 5, (n, 1)).astype(np.float32)),
+    )
+    alive = jnp.ones((n,), bool)
+    return params, alive
+
+
+def test_refine_pose_recovers_perturbation(rng):
+    params, alive = _scene(rng)
+    w2c_true = np.eye(4, dtype=np.float32)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, sh_to_rgb(params.f_dc),
+                 jnp.asarray(w2c_true), CAM, RCFG, alive=alive)
+    gt_color = out.color
+    gt_depth = out.depth / jnp.maximum(out.alpha, 1e-6)
+    gt_depth = jnp.where(out.alpha > 0.5, gt_depth, 0.0)
+
+    # Perturb by ~1.5 cm + 0.6 deg.
+    tau = np.array([0.01, -0.008, 0.006, 0.006, -0.008, 0.005], np.float32)
+    rel_init = np.asarray(se3_exp(jnp.asarray(tau)))
+
+    rel, _, stats = refine_pose(
+        params, alive, jnp.asarray(rel_init), jnp.asarray(w2c_true),
+        gt_color, gt_depth, jnp.asarray(80, jnp.int32), jnp.zeros(2),
+        CAM, RCFG, TCFG,
+    )
+    rel = np.asarray(rel)
+    # Recovered relative transform should approach identity.
+    t_err = np.linalg.norm(rel[:3, 3])
+    r_err = np.degrees(
+        np.arccos(np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1))
+    )
+    init_t_err = np.linalg.norm(rel_init[:3, 3])
+    assert t_err < 0.4 * init_t_err, (t_err, init_t_err)
+    assert r_err < 0.4, r_err
+    assert int(stats["iters"]) > 0
+
+
+def test_eval_init_candidates_prefers_truth(rng):
+    params, alive = _scene(rng)
+    w2c_true = np.eye(4, dtype=np.float32)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, sh_to_rgb(params.f_dc),
+                 jnp.asarray(w2c_true), CAM, RCFG, alive=alive)
+    gt_depth = out.depth / jnp.maximum(out.alpha, 1e-6)
+    gt_depth = jnp.where(out.alpha > 0.5, gt_depth, 0.0)
+
+    good = np.eye(4, dtype=np.float32)
+    bad = np.asarray(
+        se3_exp(jnp.asarray([0.1, 0.1, 0.0, 0.05, 0.0, 0.0])), np.float32
+    )
+    totals, _, _ = eval_init_candidates(
+        params, alive, jnp.asarray(np.stack([good, bad])),
+        jnp.asarray(w2c_true), out.color, gt_depth, CAM, RCFG, TCFG,
+    )
+    totals = np.asarray(totals)
+    assert totals[0] < totals[1]

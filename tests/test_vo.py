@@ -1,0 +1,85 @@
+"""Edge-VO tests on synthetic box-texture frames with known motion."""
+import numpy as np
+import pytest
+
+from eags_slam_tpu.core.camera import Camera
+from eags_slam_tpu.vo.system import EdgeVO, VOConfig
+
+CAM = Camera(fx=80.0, fy=80.0, cx=47.5, cy=31.5, width=96, height=64)
+CFG = VOConfig(levels=2, max_edge_points=2048, dt_window=16,
+               depth_min=0.1, depth_max=20.0, canny_low=40.0, canny_high=120.0)
+
+
+def make_frame(c2w, rng=None):
+    """Render a textured plane z=3 (checkerboard of bright squares) from c2w.
+
+    Simple pinhole raycast onto the plane — independent of our rasterizer.
+    """
+    w2c = np.linalg.inv(c2w)
+    us, vs = np.meshgrid(np.arange(CAM.width), np.arange(CAM.height))
+    # Ray in camera frame through each pixel.
+    d_cam = np.stack(
+        [(us - CAM.cx) / CAM.fx, (vs - CAM.cy) / CAM.fy, np.ones_like(us, np.float64)],
+        axis=-1,
+    )
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    d_world = d_cam @ R.T
+    # Intersect with plane z = 3.
+    lam = (3.0 - t[2]) / d_world[..., 2]
+    pts = t + lam[..., None] * d_world
+    # Checkerboard texture in world x/y, 0.4 m squares.
+    checker = ((np.floor(pts[..., 0] / 0.4) + np.floor(pts[..., 1] / 0.4)) % 2)
+    gray = np.where(checker > 0.5, 220.0, 40.0)
+    rgb = np.stack([gray] * 3, axis=-1).astype(np.uint8)
+    depth = (lam * 1.0).astype(np.float32)  # camera-frame z along ray z=1
+    return rgb, depth
+
+
+def test_vo_recovers_translation():
+    vo = EdgeVO(CFG, CAM)
+    poses = []
+    for i in range(5):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.015 * i, 0.0, 0.01 * i]
+        poses.append(c2w)
+        rgb, depth = make_frame(c2w)
+        est = vo.step(rgb, depth, i / 30.0)
+    err = np.linalg.norm(est[:3, 3] - poses[-1][:3, 3])
+    assert err < 0.02, (est[:3, 3], poses[-1][:3, 3])
+
+
+def test_vo_recovers_rotation():
+    vo = EdgeVO(CFG, CAM)
+    for i in range(4):
+        ang = 0.008 * i
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ]
+        )
+        rgb, depth = make_frame(c2w)
+        est = vo.step(rgb, depth, i / 30.0)
+    # Rotation angle error below ~0.3 deg.
+    R_err = est[:3, :3].T @ c2w[:3, :3]
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    assert ang_err < 0.3, ang_err
+
+
+def test_vo_set_pose_and_edges():
+    vo = EdgeVO(CFG, CAM)
+    rgb, depth = make_frame(np.eye(4))
+    vo.step(rgb, depth, 0.0)
+    e = vo.get_edge_image(0)
+    assert e is not None and e.shape == (CAM.height, CAM.width)
+    assert e.sum() > 50  # checkerboard has many edges
+
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    vo.set_pose(0, T)
+    np.testing.assert_allclose(vo.get_pose(0), T)
+    rep = vo.report()
+    assert rep["n_keyframes"] >= 1
