@@ -160,14 +160,22 @@ def skew(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Rodrigues formula, numerically stable near 0. Reference: pose_utils.py:38-56."""
+    """Rodrigues formula, numerically stable near 0. Reference: pose_utils.py:38-56.
+
+    Small-angle branches use the double-`where` pattern (safe input into the
+    active branch) so reverse-mode gradients stay finite at w == 0 — the
+    naive `where` overflows f32 in the untaken branch's cotangent.
+    """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + eps * eps)
+    small = theta2 <= eps
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     W = skew(w)
     WW = W @ W
-    # Stable sin(t)/t and (1-cos(t))/t^2 via their Taylor limits.
-    a = jnp.sinc(theta / jnp.pi)  # sin(theta)/theta
-    b = jnp.where(theta2 > eps, (1.0 - jnp.cos(theta)) / (theta2 + eps * eps), 0.5)
+    a = jnp.sinc(jnp.sqrt(theta2 + eps * eps) / jnp.pi)  # sin(t)/t, smooth
+    b = jnp.where(
+        small, 0.5, (1.0 - jnp.cos(theta_safe)) / theta2_safe
+    )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * WW
 
@@ -180,15 +188,17 @@ def se3_exp(tau: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """
     rho, phi = tau[..., :3], tau[..., 3:]
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(theta2 + eps * eps)
+    small = theta2 <= eps
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     W = skew(phi)
     WW = W @ W
     R = so3_exp(phi)
-    b = jnp.where(theta2 > eps, (1.0 - jnp.cos(theta)) / (theta2 + eps * eps), 0.5)
+    b = jnp.where(small, 0.5, (1.0 - jnp.cos(theta_safe)) / theta2_safe)
     c = jnp.where(
-        theta2 > eps,
-        (theta - jnp.sin(theta)) / (theta2 * theta + eps * eps * eps),
+        small,
         1.0 / 6.0,
+        (theta_safe - jnp.sin(theta_safe)) / (theta2_safe * theta_safe),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=tau.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * WW
@@ -227,16 +237,17 @@ def se3_log(T: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     R, t = T[..., :3, :3], T[..., :3, 3]
     phi = so3_log(R, eps)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(theta2 + eps * eps)
+    small = theta2 <= eps
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     W = skew(phi)
     WW = W @ W
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) WW
-    half_theta = theta / 2.0
+    half = theta_safe / 2.0
     cot = jnp.where(
-        theta2 > eps,
-        (1.0 - half_theta * jnp.cos(half_theta) / (jnp.sin(half_theta) + eps))
-        / (theta2 + eps),
+        small,
         1.0 / 12.0,
+        (1.0 - half * jnp.cos(half) / (jnp.sin(half) + eps)) / theta2_safe,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + cot[..., None, None] * WW

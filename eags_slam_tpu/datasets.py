@@ -73,6 +73,7 @@ class BaseDataset:
         self._thread: Optional[threading.Thread] = None
         self._prefetch_ahead = int(config.get("data", {}).get("prefetch", 8))
         self._loaded_until = -1  # highest index the preloader has produced
+        self._native = None      # native C++ decoder pool (start_prefetch)
 
     # -- subclass hooks ------------------------------------------------------
     def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -89,6 +90,17 @@ class BaseDataset:
     def start_prefetch(self):
         if self._thread is not None or len(self) == 0:
             return
+        # Prefer the native C++ decoder pool (GIL-free JPEG/PNG decode +
+        # readahead ring, native/loader.cpp) when formats allow.
+        if self._native is None and self.color_paths:
+            from .utils.native_loader import try_create
+
+            self._native = try_create(
+                self.color_paths[: len(self)], self.depth_paths[: len(self)],
+                self.depth_scale, self._prefetch_ahead,
+            )
+            if self._native is not None:
+                return
 
         def worker():
             for i in range(len(self)):
@@ -116,8 +128,13 @@ class BaseDataset:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
     def _get_frame(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._native is not None:
+            return self._native.get(idx)
         if self._thread is None:
             return self._load_raw(idx)
         with self._cv:

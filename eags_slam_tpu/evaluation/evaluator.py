@@ -94,9 +94,143 @@ class Evaluator:
         return out
 
     # ------------------------------------------------------------------
+    def run_reconstruction_eval(self) -> Dict:
+        """TSDF-fuse rendered keyframes, extract + clean mesh, mesh metrics
+        vs. GT depth backprojections (reference :188-243 + evaluate_
+        reconstruction.py). GT mesh files are not shipped here, so the GT
+        surface is the depth-map point cloud (same tau=0.01 F-score form).
+        """
+        from ..ops.tsdf import grid_bounds_from_trajectory, integrate, make_grid
+        from ..slam.submap import Submap
+        from .mesh import clean_mesh, mesh_metrics, sample_surface, save_ply, surface_nets
+
+        voxel = float(self.config.get("evaluation", {}).get("mesh_voxel", 0.02))
+        trunc = 4 * voxel
+        n = len(self.dataset)
+        origin, dims = grid_bounds_from_trajectory(
+            self.estimated_c2ws[:n], depth_max=6.0, voxel=voxel
+        )
+        grid = make_grid(origin, dims, voxel, trunc)
+
+        gt_pts = []
+        Twm_chain = np.eye(4)
+        for sm in self._submaps():
+            Twm_chain = Twm_chain @ sm.T_prev_m
+            g = sm.restore_world(Twm_chain)
+            args = tuple(
+                jnp.asarray(g[k])
+                for k in ("xyz", "quats", "log_scales", "opacity_logits")
+            )
+            colors = sh_to_rgb(jnp.asarray(g["f_dc"]))
+            for k, fid in enumerate(sm.kf_frame_ids):
+                c2w = Twm_chain @ sm.Tmc[k]
+                w2c = jnp.asarray(np.linalg.inv(c2w), dtype=jnp.float32)
+                out = render(args[0], args[1], args[2], args[3], colors, w2c,
+                             self.cam, self.rcfg)
+                rdepth = np.asarray(out.depth)
+                ralpha = np.asarray(out.alpha)
+                depth_n = np.where(ralpha > 0.5, rdepth / np.maximum(ralpha, 1e-6), 0.0)
+                grid = integrate(
+                    grid, jnp.clip(out.color, 0, 1),
+                    jnp.asarray(depth_n.astype(np.float32)), w2c, self.cam,
+                )
+                # GT surface samples from the sensor depth.
+                _, _, gt_depth, _ = self.dataset[int(fid)]
+                from ..core.camera import backproject
+
+                pc = np.asarray(backproject(self.cam, jnp.asarray(gt_depth)))
+                mask = gt_depth > 0
+                pts_cam = pc[mask]
+                sel = np.random.default_rng(0).choice(
+                    len(pts_cam), min(2000, len(pts_cam)), replace=False
+                )
+                pts_w = pts_cam[sel] @ np.asarray(c2w)[:3, :3].T + np.asarray(c2w)[:3, 3]
+                gt_pts.append(pts_w)
+
+        verts, faces = surface_nets(
+            np.asarray(grid.sdf), np.asarray(grid.weight),
+            np.asarray(grid.origin), grid.voxel,
+        )
+        verts, faces = clean_mesh(verts, faces)
+        mesh_dir = os.path.join(self.output_path, "mesh")
+        os.makedirs(mesh_dir, exist_ok=True)
+        save_ply(os.path.join(mesh_dir, "cleaned_mesh.ply"), verts, faces)
+
+        out: Dict = {"n_vertices": int(len(verts)), "n_faces": int(len(faces))}
+        if len(faces) and gt_pts:
+            pred_pts = sample_surface(verts, faces, 20000)
+            out.update(mesh_metrics(pred_pts, np.concatenate(gt_pts), tau=0.01))
+        with open(os.path.join(self.output_path,
+                               "reconstruction_metrics.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        return out
+
+    def run_global_map_eval(self) -> Dict:
+        """Merge submaps + full-SH global refinement + re-render metrics
+        (reference :245-360)."""
+        from ..core.sh import sh_colors
+        from ..slam.submap import Submap
+        from .merged_map import merge_submaps, refine_global_map
+
+        dicts = []
+        Twm_chain = np.eye(4)
+        kf_ids = []
+        for sm in self._submaps():
+            Twm_chain = Twm_chain @ sm.T_prev_m
+            dicts.append(sm.restore_world(Twm_chain))
+            kf_ids.extend(int(f) for f in sm.kf_frame_ids)
+        if not dicts:
+            return {}
+        merged = merge_submaps(dicts)
+
+        exposures = self.exposures if self.exposures is not None else np.zeros(
+            (len(self.dataset), 2)
+        )
+
+        def frame_fn(fid):
+            _, color, depth, _ = self.dataset[fid]
+            return color, depth, self.estimated_c2ws[fid], exposures[fid]
+
+        iters = int(self.config.get("evaluation", {}).get(
+            "global_refine_iters", 30000))
+        params, alive = refine_global_map(
+            merged, frame_fn, sorted(set(kf_ids)), self.cam, self.rcfg,
+            iterations=iters,
+        )
+
+        psnrs, ssims = [], []
+        for fid in sorted(set(kf_ids)):
+            _, color, depth, _ = self.dataset[fid]
+            c2w = self.estimated_c2ws[fid]
+            rgb = sh_colors(3, params.f_dc, params.f_rest, params.xyz,
+                            jnp.asarray(c2w[:3, 3], dtype=jnp.float32))
+            out = render(params.xyz, params.quats, params.log_scales,
+                         params.opacity_logits, rgb,
+                         jnp.asarray(np.linalg.inv(c2w), dtype=jnp.float32),
+                         self.cam, self.rcfg, alive=jnp.asarray(alive))
+            img = jnp.clip(out.color, 0, 1)
+            psnrs.append(float(psnr(img, jnp.asarray(color))))
+            ssims.append(float(ssim(img, jnp.asarray(color))))
+        res = {
+            "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+            "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "num_views": len(psnrs),
+            "iterations": iters,
+        }
+        with open(os.path.join(self.output_path,
+                               "rendering_metrics_global.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        return res
+
+    # ------------------------------------------------------------------
     def run(self) -> Dict:
         results = {"trajectory": self.run_trajectory_eval()}
         results["rendering"] = self.run_rendering_eval()
+        ev = self.config.get("evaluation", {})
+        if ev.get("eval_mesh", False):
+            results["reconstruction"] = self.run_reconstruction_eval()
+        if ev.get("eval_global", False):
+            results["global"] = self.run_global_map_eval()
         with open(os.path.join(self.output_path, "evaluation.json"), "w") as f:
             json.dump(results, f, indent=2)
         return results

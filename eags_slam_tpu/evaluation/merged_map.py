@@ -1,0 +1,162 @@
+"""Global map merge + refinement (post-hoc, highest-quality rendering).
+
+Reference: src/evaluation/evaluator.py:65-109 (submap merge with faiss IVF
+dedup + 5M-point cap) and src/evaluation/evaluate_merged_map.py:54-158
+(`refine_global_map`: 30k-iter full-SH 3DGS training over <=1000 strided
+frames, SH degree upgrade every 1k iters, prune every 500).
+
+TPU adaptation:
+  - merge dedup is a host voxel-grid unique (the reference's approximate
+    faiss IVF radius dedup serves the same purpose);
+  - refinement runs as jitted scan *chunks*: an outer host loop uploads a
+    small random batch of frames, an inner `lax.scan` does the optimization
+    iterations sampling among them (device memory holds a frame batch, not
+    1000 full-res frames); SH degree upgrades re-enter at the next chunk
+    boundary (degree is a static argument).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from ..core.sh import sh_colors
+from ..ops.losses import isotropic_loss, masked_l1, ssim
+from ..ops.rasterizer import RasterConfig, render
+from ..utils import optim
+
+
+def merge_submaps(gaussian_dicts: List[Dict[str, np.ndarray]],
+                  voxel: float = 0.005, max_points: int = 5_000_000
+                  ) -> Dict[str, np.ndarray]:
+    """Concatenate world-frame submap gaussians, voxel-dedup, cap count."""
+    cat = {
+        k: np.concatenate([g[k] for g in gaussian_dicts], axis=0)
+        for k in gaussian_dicts[0]
+    }
+    xyz = cat["xyz"]
+    key = np.floor(xyz / voxel).astype(np.int64)
+    # Hash voxel ids; keep the first gaussian per voxel.
+    h = key[:, 0] * 73856093 ^ key[:, 1] * 19349663 ^ key[:, 2] * 83492791
+    _, keep = np.unique(h, return_index=True)
+    if keep.shape[0] > max_points:
+        keep = np.random.default_rng(0).choice(keep, max_points, replace=False)
+    return {k: v[keep] for k, v in cat.items()}
+
+
+class _RefineCarry(NamedTuple):
+    params: GaussianParams
+    adam: optim.AdamState
+    alive: jnp.ndarray
+    key: jax.Array
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "sh_degree", "cam", "rcfg")
+)
+def _refine_chunk(
+    params: GaussianParams, adam, alive, key,
+    colors, depths, w2cs, cam_centers, exposures, n_frames,
+    iters: int, sh_degree: int, cam: Camera, rcfg: RasterConfig,
+    prune_every: int = 500, lambda_dssim: float = 0.2,
+):
+    lr = GaussianParams(
+        xyz=1e-4, f_dc=2.5e-3, f_rest=2.5e-3 / 20.0, log_scales=5e-3,
+        quats=1e-3, opacity_logits=0.05,
+    )
+
+    def loss_fn(p: GaussianParams, al, fi):
+        rgb = sh_colors(sh_degree, p.f_dc, p.f_rest, p.xyz, cam_centers[fi])
+        out = render(p.xyz, p.quats, p.log_scales, p.opacity_logits, rgb,
+                     w2cs[fi], cam, rcfg, alive=al)
+        img = jnp.clip(
+            out.color * jnp.exp(exposures[fi, 0]) + exposures[fi, 1], 0.0, 1.0
+        )
+        gt_c, gt_d = colors[fi], depths[fi]
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth)
+        m3 = jnp.tile(mask[..., None].astype(img.dtype), (1, 1, 3))
+        cl = (1 - lambda_dssim) * masked_l1(img, gt_c, m3) + lambda_dssim * (
+            1.0 - ssim(img, gt_c)
+        )
+        dl = masked_l1(out.depth, gt_d, mask.astype(img.dtype))
+        return cl + dl + 10.0 * isotropic_loss(p.log_scales, al)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(c: _RefineCarry, it):
+        key, k1 = jax.random.split(c.key)
+        fi = jax.random.randint(k1, (), 0, n_frames)
+        loss, grads = grad_fn(c.params, c.alive, fi)
+        gmask = c.alive.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+        )
+        new_p, new_adam = optim.adam_update(c.adam, c.params, grads, lr)
+        do_prune = (it % prune_every == 0) & (it != 0)
+        alive = c.alive & ~(
+            do_prune & (jax.nn.sigmoid(new_p.opacity_logits[:, 0]) < 0.005)
+        )
+        return _RefineCarry(new_p, new_adam, alive, key), loss
+
+    init = _RefineCarry(params, adam, alive, key)
+    final, losses = jax.lax.scan(step, init, jnp.arange(iters))
+    return final.params, final.adam, final.alive, losses
+
+
+def refine_global_map(
+    gauss: Dict[str, np.ndarray],
+    frames,                      # callable idx -> (color np, depth np, c2w np, exposure np)
+    frame_ids: List[int],
+    cam: Camera,
+    rcfg: RasterConfig,
+    iterations: int = 30000,
+    batch_frames: int = 8,
+    chunk_iters: int = 500,
+    max_sh_degree: int = 3,
+    seed: int = 0,
+) -> Tuple[GaussianParams, np.ndarray]:
+    """Full-SH global refinement; returns (params, alive) on device."""
+    n = gauss["xyz"].shape[0]
+    params = GaussianParams(
+        xyz=jnp.asarray(gauss["xyz"]),
+        f_dc=jnp.asarray(gauss["f_dc"]),
+        f_rest=jnp.asarray(gauss["f_rest"]),
+        log_scales=jnp.asarray(gauss["log_scales"]),
+        quats=jnp.asarray(gauss["quats"]),
+        opacity_logits=jnp.asarray(gauss["opacity_logits"]),
+    )
+    alive = jnp.ones((n,), bool)
+    adam = optim.adam_init(params)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    done = 0
+    while done < iterations:
+        # SH degree upgrade every 1k iters (reference :54-158).
+        sh_degree = min(done // 1000, max_sh_degree)
+        batch = rng.choice(len(frame_ids), min(batch_frames, len(frame_ids)),
+                           replace=False)
+        cols, deps, w2cs, ccs, exps = [], [], [], [], []
+        for bi in batch:
+            color, depth, c2w, exposure = frames(frame_ids[int(bi)])
+            cols.append(color)
+            deps.append(depth)
+            w2cs.append(np.linalg.inv(c2w).astype(np.float32))
+            ccs.append(c2w[:3, 3].astype(np.float32))
+            exps.append(exposure.astype(np.float32))
+        it = min(chunk_iters, iterations - done)
+        key, sub = jax.random.split(key)
+        params, adam, alive, _ = _refine_chunk(
+            params, adam, alive, sub,
+            jnp.asarray(np.stack(cols)), jnp.asarray(np.stack(deps)),
+            jnp.asarray(np.stack(w2cs)), jnp.asarray(np.stack(ccs)),
+            jnp.asarray(np.stack(exps)), jnp.asarray(len(batch), jnp.int32),
+            it, sh_degree, cam, rcfg,
+        )
+        done += it
+    return params, np.asarray(alive)

@@ -1,0 +1,221 @@
+"""Mesh extraction + cleaning + 3D reconstruction metrics.
+
+Reference: src/evaluation/evaluate_reconstruction.py — mesh extraction from
+the TSDF (Open3D marching cubes), cleaning by connected components >= 200
+triangles (:200-256), accuracy/completion/F-score at tau=0.01 m (:257-290,
+via the evaluate_3d_reconstruction lib).
+
+Implementation notes (this environment has no Open3D/trimesh/skimage):
+  - extraction uses **surface nets** instead of marching cubes: one vertex
+    per sign-change voxel at the mean of its edge zero-crossings, quads
+    across sign-change faces split into triangles. Table-free, watertight on
+    closed surfaces, and equivalent for the point-distance metrics used here
+    (evaluation is host-side numpy, like the reference's);
+  - component analysis uses scipy.sparse connected components;
+  - distances use the device kNN ops.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def surface_nets(sdf: np.ndarray, weight: np.ndarray, origin, voxel: float,
+                 min_weight: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract (vertices (V, 3), faces (F, 3)) from a TSDF grid."""
+    observed = weight >= min_weight
+    s = np.where(observed, sdf, np.nan)
+
+    # Sign-change cells: examine the 8 corners of each cell.
+    c = s
+    corners = [
+        c[:-1, :-1, :-1], c[1:, :-1, :-1], c[:-1, 1:, :-1], c[1:, 1:, :-1],
+        c[:-1, :-1, 1:], c[1:, :-1, 1:], c[:-1, 1:, 1:], c[1:, 1:, 1:],
+    ]
+    stack = np.stack(corners)
+    finite = np.all(np.isfinite(stack), axis=0)
+    smin = np.nanmin(stack, axis=0)
+    smax = np.nanmax(stack, axis=0)
+    active = finite & (smin <= 0) & (smax > 0)
+    idx = np.argwhere(active)  # (N, 3) cell coords
+    if idx.shape[0] == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+
+    cell_id = -np.ones(active.shape, np.int64)
+    cell_id[tuple(idx.T)] = np.arange(idx.shape[0])
+
+    # Vertex per active cell: average of edge zero-crossings.
+    edges = [
+        ((0, 0, 0), (1, 0, 0)), ((0, 1, 0), (1, 1, 0)),
+        ((0, 0, 1), (1, 0, 1)), ((0, 1, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 1, 0)), ((1, 0, 0), (1, 1, 0)),
+        ((0, 0, 1), (0, 1, 1)), ((1, 0, 1), (1, 1, 1)),
+        ((0, 0, 0), (0, 0, 1)), ((1, 0, 0), (1, 0, 1)),
+        ((0, 1, 0), (0, 1, 1)), ((1, 1, 0), (1, 1, 1)),
+    ]
+    acc = np.zeros((idx.shape[0], 3))
+    cnt = np.zeros((idx.shape[0],))
+    for (a, b) in edges:
+        va = s[idx[:, 0] + a[0], idx[:, 1] + a[1], idx[:, 2] + a[2]]
+        vb = s[idx[:, 0] + b[0], idx[:, 1] + b[1], idx[:, 2] + b[2]]
+        cross = (va <= 0) != (vb <= 0)
+        t = np.where(cross, va / np.where(np.abs(va - vb) < 1e-12, 1e-12, va - vb), 0.0)
+        pa = idx + np.asarray(a)
+        pb = idx + np.asarray(b)
+        pt = pa + t[:, None] * (pb - pa)
+        acc += np.where(cross[:, None], pt, 0.0)
+        cnt += cross
+    verts = origin + voxel * (acc / np.maximum(cnt, 1)[:, None])
+
+    # Faces: for each axis, a quad between the 4 cells sharing a sign-change
+    # grid edge.
+    faces = []
+    for axis in range(3):
+        e0 = s
+        e1 = np.roll(s, -1, axis=axis)
+        sl = [slice(0, s.shape[d] - 1) if d == axis else slice(0, s.shape[d])
+              for d in range(3)]
+        a_vals = e0[tuple(sl)]
+        b_vals = e1[tuple(sl)]
+        cross = np.isfinite(a_vals) & np.isfinite(b_vals) & (
+            (a_vals <= 0) != (b_vals <= 0)
+        )
+        flip = (a_vals > 0)
+        eidx = np.argwhere(cross)
+        if eidx.size == 0:
+            continue
+        o1, o2 = [(1, 2), (0, 2), (0, 1)][axis]
+        for e, do_flip in zip(eidx, flip[tuple(eidx.T)]):
+            cells = []
+            ok = True
+            for da, db in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                cc = e.copy()
+                cc[o1] -= da
+                cc[o2] -= db
+                if np.any(cc < 0) or np.any(cc >= np.asarray(cell_id.shape)):
+                    ok = False
+                    break
+                cid = cell_id[tuple(cc)]
+                if cid < 0:
+                    ok = False
+                    break
+                cells.append(cid)
+            if not ok:
+                continue
+            if do_flip:
+                cells = cells[::-1]
+            faces.append([cells[0], cells[1], cells[2]])
+            faces.append([cells[0], cells[2], cells[3]])
+    faces = np.asarray(faces, np.int64) if faces else np.zeros((0, 3), np.int64)
+    return verts, faces
+
+
+def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_faces: int = 200
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop connected components with < min_faces triangles
+    (reference clean_mesh :200-256)."""
+    if faces.shape[0] == 0:
+        return verts, faces
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    n = verts.shape[0]
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    adj = sp.coo_matrix((np.ones_like(rows), (rows, cols)), shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    face_labels = labels[faces[:, 0]]
+    keep_labels = {
+        lab for lab in np.unique(face_labels)
+        if (face_labels == lab).sum() >= min_faces
+    }
+    keep = np.isin(face_labels, list(keep_labels))
+    faces = faces[keep]
+    used = np.unique(faces)
+    remap = -np.ones(n, np.int64)
+    remap[used] = np.arange(used.shape[0])
+    return verts[used], remap[faces]
+
+
+def save_ply(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
+        for tri in faces:
+            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+
+
+def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    verts, faces = [], []
+    with open(path) as f:
+        n_v = n_f = 0
+        for line in f:
+            line = line.strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_f = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        for _ in range(n_v):
+            verts.append([float(x) for x in next(f).split()[:3]])
+        for _ in range(n_f):
+            parts = next(f).split()
+            faces.append([int(x) for x in parts[1:4]])
+    return np.asarray(verts), np.asarray(faces, np.int64)
+
+
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
+                   seed: int = 0) -> np.ndarray:
+    """Uniform area-weighted surface samples."""
+    if faces.shape[0] == 0:
+        return verts[:0]
+    rng = np.random.default_rng(seed)
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    p = area / max(area.sum(), 1e-12)
+    tri = rng.choice(len(faces), n, p=p)
+    r1 = np.sqrt(rng.uniform(size=(n, 1)))
+    r2 = rng.uniform(size=(n, 1))
+    return (
+        (1 - r1) * a[tri] + r1 * (1 - r2) * b[tri] + r1 * r2 * c[tri]
+    )
+
+
+def mesh_metrics(pred_pts: np.ndarray, gt_pts: np.ndarray,
+                 tau: float = 0.01) -> Dict[str, float]:
+    """Accuracy / completion / F-score at threshold tau
+    (reference evaluate_3d_reconstruction usage :257-290)."""
+    import jax.numpy as jnp
+
+    from ..ops.knn import nearest_sq_dist
+
+    def nn_dist(a, b):
+        d2 = nearest_sq_dist(
+            jnp.asarray(a, dtype=jnp.float32),
+            jnp.ones((len(a),), bool),
+            jnp.asarray(b, dtype=jnp.float32),
+            jnp.ones((len(b),), bool),
+        )
+        return np.sqrt(np.asarray(d2))
+
+    d_pred_gt = nn_dist(pred_pts, gt_pts)   # accuracy distances
+    d_gt_pred = nn_dist(gt_pts, pred_pts)   # completion distances
+    precision = float((d_pred_gt < tau).mean())
+    recall = float((d_gt_pred < tau).mean())
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    return {
+        "accuracy": float(d_pred_gt.mean()),
+        "completion": float(d_gt_pred.mean()),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

@@ -44,13 +44,17 @@ from ..core.camera import Camera
 class RasterConfig(NamedTuple):
     tile: int = 16            # square tile side in pixels
     dup_side: int = 4         # gaussian may cover up to dup_side^2 tiles
-    tile_capacity: int = 1024  # max gaussians composited per tile (front-most)
-    chunk: int = 64           # gaussians per compositing scan step
+    tile_capacity: int = 1024  # jnp backend: max gaussians composited per tile
+    chunk: int = 64           # gaussians per compositing step
     near: float = 0.2         # z culling plane (matches CUDA raster near)
     alpha_min: float = 1.0 / 255.0
     alpha_max: float = 0.99
     sigma_clip: float = 3.0   # radius = sigma_clip * sqrt(lambda_max)
     low_pass: float = 0.3     # 2D covariance dilation (3DGS convention)
+    backend: str = "auto"     # auto | pallas | jnp (auto: pallas on TPU)
+    max_per_tile: int = 8192  # pallas backend: safety cap per tile
+    group: int = 16           # pallas backend: tiles per grid program
+    entry_cap_factor: int = 4  # pallas: total entry budget = factor * N
 
 
 class RenderOutput(NamedTuple):
@@ -105,30 +109,38 @@ def project_gaussians(
     v = p_cam[..., 1] * inv_z * cam.fy + cam.cy
     mean2d = jnp.stack([u, v], axis=-1)
 
-    # 3D covariance in world frame: R S S^T R^T.
-    Rg = _quat_to_rotmat(quats)                       # (N, 3, 3)
-    S = jnp.exp(log_scales)                           # (N, 3)
-    M = Rg * S[..., None, :]                          # R @ diag(S)
-    cov3d = M @ jnp.swapaxes(M, -1, -2)               # (N, 3, 3)
+    # 3D covariance in world frame: R S S^T R^T, then the EWA 2D covariance
+    # J W cov3d W^T J^T. Written as purely ELEMENTWISE ops over N: batched
+    # (N, 3, 3) matmuls lower terribly on TPU (tiny MXU tiles); the explicit
+    # row algebra is ~60 VPU flops per gaussian.
+    S = jnp.exp(log_scales)                            # (N, 3)
+    Rg = _quat_to_rotmat(quats)                        # (N, 3, 3)
+    M = Rg * S[..., None, :]                           # rows m0, m1, m2
 
-    # Perspective Jacobian (with 3DGS's frustum clamping of x/z, y/z).
+    # Rows of A = Wc @ M (camera-frame scaled axes): a_i = R_cw row_i . M
+    def rot_rows(mat_rows):
+        # mat_rows: (N, 3, 3); returns (N, 3, 3) = R_cw @ mat_rows
+        return jnp.einsum("ij,njk->nik", R_cw, mat_rows)
+
+    A = rot_rows(M)                                    # (N, 3, 3)
+
+    # Perspective Jacobian rows (with 3DGS's frustum clamping of x/z, y/z).
     lim_x = 1.3 * (0.5 * cam.width / cam.fx)
     lim_y = 1.3 * (0.5 * cam.height / cam.fy)
     tx = jnp.clip(p_cam[..., 0] * inv_z, -lim_x, lim_x) * zc
     ty = jnp.clip(p_cam[..., 1] * inv_z, -lim_y, lim_y) * zc
-    zero = jnp.zeros_like(zc)
-    J = jnp.stack(
-        [
-            jnp.stack([cam.fx * inv_z, zero, -cam.fx * tx * inv_z * inv_z], -1),
-            jnp.stack([zero, cam.fy * inv_z, -cam.fy * ty * inv_z * inv_z], -1),
-        ],
-        axis=-2,
-    )                                                  # (N, 2, 3)
-    Wc = R_cw[None]                                    # world->cam rotation
-    T = J @ Wc @ cov3d @ jnp.swapaxes(Wc, -1, -2) @ jnp.swapaxes(J, -1, -2)
-    a = T[..., 0, 0] + cfg.low_pass
-    b = T[..., 0, 1]
-    c = T[..., 1, 1] + cfg.low_pass
+    j00 = cam.fx * inv_z
+    j02 = -cam.fx * tx * inv_z * inv_z
+    j11 = cam.fy * inv_z
+    j12 = -cam.fy * ty * inv_z * inv_z
+
+    # B = J @ A: (N, 2, 3) with rows b0 = j00 a0 + j02 a2, b1 = j11 a1 + j12 a2.
+    b0 = j00[:, None] * A[:, 0, :] + j02[:, None] * A[:, 2, :]
+    b1 = j11[:, None] * A[:, 1, :] + j12[:, None] * A[:, 2, :]
+    # cov2d = B B^T.
+    a = jnp.sum(b0 * b0, axis=-1) + cfg.low_pass
+    b = jnp.sum(b0 * b1, axis=-1)
+    c = jnp.sum(b1 * b1, axis=-1) + cfg.low_pass
 
     det = a * c - b * b
     det = jnp.maximum(det, 1e-12)
@@ -154,13 +166,12 @@ def project_gaussians(
     return _Projected(mean2d, conic, z, radius, opacity)
 
 
-def _build_tile_table(
-    proj: _Projected, cam: Camera, cfg: RasterConfig
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sorted fixed-capacity per-tile gaussian index table.
+def _bin_entries(proj: _Projected, cam: Camera, cfg: RasterConfig):
+    """Duplicate gaussians into covered tiles and sort by (tile, depth).
 
-    Returns (tile_gauss (T, C) int32 indices, tile_count (T,) int32). Invalid
-    slots hold index N (one-past-end sentinel; callers pad gathers).
+    Returns (s_tile, s_gauss, start, count): sorted entry arrays of length
+    E = N * dup_side^2 (invalid entries hold tile sentinel and sort last),
+    plus per-tile segment starts/counts.
     """
     n = proj.mean2d.shape[0]
     tiles_x = -(-cam.width // cfg.tile)
@@ -192,22 +203,37 @@ def _build_tile_table(
     )
     depth_key = jnp.broadcast_to(depth_bits[:, None], tile_id.shape)
     depth_key = jnp.where(valid, depth_key, jnp.iinfo(jnp.int32).max)
-    gauss_id = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape
-    )
 
     flat_tile = tile_id.reshape(-1)
     flat_depth = depth_key.reshape(-1)
-    flat_gauss = gauss_id.reshape(-1)
-    s_tile, _, s_gauss = jax.lax.sort(
-        (flat_tile, flat_depth, flat_gauss), dimension=0, num_keys=2
+    e = flat_tile.shape[0]
+    flat_id = jnp.arange(e, dtype=jnp.int32)  # presort entry id: gauss*d^2+k
+    s_tile, _, s_flat = jax.lax.sort(
+        (flat_tile, flat_depth, flat_id), dimension=0, num_keys=2
     )
+    s_gauss = s_flat // (d * d)
 
     start = jnp.searchsorted(s_tile, jnp.arange(num_tiles, dtype=jnp.int32))
     end = jnp.searchsorted(
         s_tile, jnp.arange(1, num_tiles + 1, dtype=jnp.int32)
     )
     count = (end - start).astype(jnp.int32)
+    return s_tile, s_gauss, s_flat, start.astype(jnp.int32), count
+
+
+def _build_tile_table(
+    proj: _Projected, cam: Camera, cfg: RasterConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sorted fixed-capacity per-tile gaussian index table (jnp backend).
+
+    Returns (tile_gauss (T, C) int32 indices, tile_count (T,) int32). Invalid
+    slots hold index N (one-past-end sentinel; callers pad gathers).
+    """
+    n = proj.mean2d.shape[0]
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    s_tile, s_gauss, _, start, count = _bin_entries(proj, cam, cfg)
 
     e = s_tile.shape[0]
     pos = jnp.arange(e, dtype=jnp.int32) - start[jnp.clip(s_tile, 0, num_tiles - 1)]
@@ -217,6 +243,114 @@ def _build_tile_table(
     table = jnp.full((num_tiles + 1, cfg.tile_capacity), n, dtype=jnp.int32)
     table = table.at[scat_tile, scat_pos].set(jnp.where(ok, s_gauss, n))
     return table[:num_tiles], jnp.minimum(count, cfg.tile_capacity)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_entries(attrs_t, slot_gid, inv_pos, dup2: int):
+    """entries_t (NCH, Epad) = attrs_t[:, slot_gid] with a hand-written VJP.
+
+    The naive VJP of this gather is a scatter-add over Epad rows — measured
+    ~30x slower than a gather on this TPU. Instead the backward uses the
+    precomputed inverse permutation `inv_pos` (presort entry -> padded slot,
+    Epad for dropped entries): gather the cotangent back into presort order,
+    reshape (NCH, N, dup^2), and reduce over the duplication axis.
+    """
+    return attrs_t[:, slot_gid]
+
+
+def _gather_entries_fwd(attrs_t, slot_gid, inv_pos, dup2):
+    return attrs_t[:, slot_gid], (slot_gid, inv_pos, attrs_t.shape)
+
+
+def _gather_entries_bwd(dup2, res, g):
+    slot_gid, inv_pos, shape = res
+    nch, n_plus = shape
+    e_pad = g.shape[1]
+    safe = jnp.clip(inv_pos, 0, e_pad - 1)
+    g_pre = jnp.where((inv_pos >= 0) & (inv_pos < e_pad), g[:, safe], 0.0)
+    g_per_gauss = g_pre.reshape(nch, n_plus - 1, dup2).sum(axis=-1)
+    d_attrs = jnp.concatenate(
+        [g_per_gauss, jnp.zeros((nch, 1), g.dtype)], axis=1
+    )
+    return (d_attrs, None, None)
+
+
+_gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
+
+
+def _composite_pallas(
+    proj: _Projected, colors: jnp.ndarray, cam: Camera, cfg: RasterConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pallas-backed compositing.
+
+    Layout pipeline (every step sized by measurement on this TPU):
+      1. truncate the sorted entries to a static budget
+         E_cap = entry_cap_factor * N (sorted order is valid-first, so this
+         only drops entries when the scene overflows the budget);
+      2. scatter int32 ids into a 128-aligned per-tile padded layout (TPU HBM
+         slices must be 128-lane aligned) — scattering 4-byte ids is ~8x
+         cheaper than scattering 64-byte attribute rows;
+      3. one attr-major gather builds entries_t (NCH, Epad); its custom VJP
+         avoids the pathological scatter-add (see _gather_entries).
+    """
+    from .rasterizer_pallas import NCH, composite_entries
+
+    pchunk = 128
+    n = proj.mean2d.shape[0]
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    ts = cfg.tile
+    dup2 = cfg.dup_side * cfg.dup_side
+    s_tile, s_gauss, s_flat, start, count = _bin_entries(proj, cam, cfg)
+    e_raw = s_gauss.shape[0]
+
+    # 1. static entry budget (sorted arrays are valid-first).
+    e_cap = min(e_raw, ((cfg.entry_cap_factor * n + pchunk - 1) // pchunk) * pchunk)
+    start = jnp.minimum(start, e_cap)
+    count = jnp.minimum(jnp.minimum(start + count, e_cap) - start,
+                        cfg.max_per_tile)
+    s_gauss_c = s_gauss[:e_cap]
+    s_flat_c = s_flat[:e_cap]
+    s_tile_c = s_tile[:e_cap]
+
+    # 2. aligned padded layout: scatter ids only.
+    padded = ((count + pchunk - 1) // pchunk) * pchunk
+    pstart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    e_pad = e_cap + pchunk * num_tiles  # static
+
+    tile_c = jnp.clip(s_tile_c, 0, num_tiles - 1)
+    pos = jnp.arange(e_cap, dtype=jnp.int32) - start[tile_c]
+    ok = (s_tile_c < num_tiles) & (pos >= 0) & (pos < count[tile_c])
+    dest = jnp.where(ok, pstart[tile_c] + pos, e_pad)
+    slot_gid = jnp.full((e_pad,), n, jnp.int32).at[dest].set(
+        jnp.clip(s_gauss_c, 0, n - 1), mode="drop"
+    )
+    # inverse permutation for the gather VJP: presort entry -> padded slot.
+    inv_pos = jnp.full((e_raw,), e_pad, jnp.int32).at[
+        jnp.where(ok, s_flat_c, e_raw)
+    ].set(dest, mode="drop")
+
+    # 3. attr-major per-gaussian table (NCH, N+1) with an inert sentinel row.
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    attrs = jnp.stack(
+        [
+            proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.opacity,
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            proj.depth,
+        ] + [zeros_n] * (NCH - 10),
+        axis=0,
+    )
+    attrs_t = jnp.concatenate([attrs, jnp.zeros((NCH, 1), jnp.float32)], axis=1)
+    entries_t = _gather_entries(attrs_t, slot_gid, inv_pos, dup2)
+
+    out = composite_entries(entries_t, pstart, count, num_tiles,
+                            pchunk, ts, tiles_x, cfg.group)
+    img = out[:num_tiles, :5].reshape(tiles_y, tiles_x, 5, ts, ts)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * ts, tiles_x * ts, 5)
+    return img[..., :3], img[..., 3], img[..., 4]
 
 
 def _composite(
@@ -336,8 +470,14 @@ def render(
     proj = project_gaussians(
         means3d, quats, log_scales, opacity_logits, w2c, cam, cfg, alive
     )
-    table, count = _build_tile_table(proj, cam, cfg)
-    color, depth, alpha = _composite(table, count, proj, colors, cam, cfg)
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        color, depth, alpha = _composite_pallas(proj, colors, cam, cfg)
+    else:
+        table, count = _build_tile_table(proj, cam, cfg)
+        color, depth, alpha = _composite(table, count, proj, colors, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
     alpha = alpha[: cam.height, : cam.width]

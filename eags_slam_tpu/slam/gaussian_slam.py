@@ -69,11 +69,18 @@ class GaussianSLAM:
         self.trans_thre = float(mc.get("new_submap_trans_thre", 0.5))
         self.capacity = int(mc.get("max_gaussians", 1 << 18))
 
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
         self.rcfg = RasterConfig(
-            tile=16,
-            dup_side=4,
+            # TPU: bigger tiles + grouped grid amortize per-program overhead
+            # (measured ~50-150us/program); CPU tests use small images.
+            tile=int(mc.get("raster_tile", 32 if on_tpu else 16)),
+            dup_side=int(mc.get("dup_side", 3 if on_tpu else 4)),
             tile_capacity=int(mc.get("tile_capacity", 1024)),
             chunk=64,
+            group=int(mc.get("raster_group", 8)),
+            entry_cap_factor=int(mc.get("entry_cap_factor", 4)),
         )
         self.mcfg = M.MapperConfig(
             iterations=int(mc["iterations"]),

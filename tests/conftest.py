@@ -16,6 +16,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+# The host image ships a sitecustomize that registers a tunneled TPU backend
+# ('axon') at interpreter start, so env vars alone are too late. Force the
+# platform at the config level BEFORE any backend initializes: tests must
+# run on the virtual 8-device CPU mesh, never on the single real TPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must not touch the real TPU"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -10,14 +10,24 @@ CFG = VOConfig(levels=2, max_edge_points=2048, dt_window=16,
                depth_min=0.1, depth_max=20.0, canny_low=40.0, canny_high=120.0)
 
 
-def make_frame(c2w, rng=None):
-    """Render a textured plane z=3 (checkerboard of bright squares) from c2w.
+# Aperiodic disc texture: periodic edge geometry (e.g. a checkerboard) gives
+# a distance-transform tracker a lattice of aliased minima; real scenes are
+# aperiodic, so the test scene must be too.
+_DISC_RNG = np.random.default_rng(7)
+_DISCS = np.stack(
+    [
+        _DISC_RNG.uniform(-3, 3, 50),          # cx
+        _DISC_RNG.uniform(-2.2, 2.2, 50),      # cy
+        _DISC_RNG.uniform(0.12, 0.45, 50),     # radius
+    ],
+    axis=1,
+)
 
-    Simple pinhole raycast onto the plane — independent of our rasterizer.
-    """
-    w2c = np.linalg.inv(c2w)
+
+def make_frame(c2w, rng=None):
+    """Render a textured plane z=3 (random discs) from c2w via raycast —
+    independent of our rasterizer."""
     us, vs = np.meshgrid(np.arange(CAM.width), np.arange(CAM.height))
-    # Ray in camera frame through each pixel.
     d_cam = np.stack(
         [(us - CAM.cx) / CAM.fx, (vs - CAM.cy) / CAM.fy, np.ones_like(us, np.float64)],
         axis=-1,
@@ -25,34 +35,40 @@ def make_frame(c2w, rng=None):
     R = c2w[:3, :3]
     t = c2w[:3, 3]
     d_world = d_cam @ R.T
-    # Intersect with plane z = 3.
     lam = (3.0 - t[2]) / d_world[..., 2]
     pts = t + lam[..., None] * d_world
-    # Checkerboard texture in world x/y, 0.4 m squares.
-    checker = ((np.floor(pts[..., 0] / 0.4) + np.floor(pts[..., 1] / 0.4)) % 2)
-    gray = np.where(checker > 0.5, 220.0, 40.0)
+    inside = (
+        (pts[..., 0, None] - _DISCS[None, None, :, 0]) ** 2
+        + (pts[..., 1, None] - _DISCS[None, None, :, 1]) ** 2
+        < _DISCS[None, None, :, 2] ** 2
+    )
+    gray = np.where(inside.sum(-1) % 2 == 1, 220.0, 40.0)
     rgb = np.stack([gray] * 3, axis=-1).astype(np.uint8)
     depth = (lam * 1.0).astype(np.float32)  # camera-frame z along ray z=1
     return rgb, depth
 
 
 def test_vo_recovers_translation():
+    # Per-frame motion ~1.5 px (DT alignment on integer-quantized Canny edges
+    # is accurate to roughly the half-pixel level; sub-pixel motions are below
+    # its resolution, like the reference's REVO).
     vo = EdgeVO(CFG, CAM)
     poses = []
     for i in range(5):
         c2w = np.eye(4)
-        c2w[:3, 3] = [0.015 * i, 0.0, 0.01 * i]
+        c2w[:3, 3] = [0.055 * i, 0.0, 0.01 * i]
         poses.append(c2w)
         rgb, depth = make_frame(c2w)
         est = vo.step(rgb, depth, i / 30.0)
     err = np.linalg.norm(est[:3, 3] - poses[-1][:3, 3])
-    assert err < 0.02, (est[:3, 3], poses[-1][:3, 3])
+    # Final displacement 0.23 m (~6 px/frame); allow ~20% drift.
+    assert err < 0.05, (est[:3, 3], poses[-1][:3, 3])
 
 
 def test_vo_recovers_rotation():
     vo = EdgeVO(CFG, CAM)
     for i in range(4):
-        ang = 0.008 * i
+        ang = 0.025 * i  # ~1.4 deg (2 px) per frame
         c2w = np.eye(4)
         c2w[:3, :3] = np.array(
             [
@@ -63,10 +79,9 @@ def test_vo_recovers_rotation():
         )
         rgb, depth = make_frame(c2w)
         est = vo.step(rgb, depth, i / 30.0)
-    # Rotation angle error below ~0.3 deg.
     R_err = est[:3, :3].T @ c2w[:3, :3]
     ang_err = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
-    assert ang_err < 0.3, ang_err
+    assert ang_err < 1.0, ang_err
 
 
 def test_vo_set_pose_and_edges():
