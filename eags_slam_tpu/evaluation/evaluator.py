@@ -58,8 +58,15 @@ class Evaluator:
 
     def run_rendering_eval(self) -> Dict:
         """Render each submap's keyframes from the restored world gaussians
-        (reference :116-186)."""
-        psnrs, ssims, depth_l1s = [], [], []
+        (reference :116-186). LPIPS is weights-gated (evaluation/lpips.py)."""
+        from .lpips import lpips
+
+        psnrs, ssims, depth_l1s, lpipss = [], [], [], []
+        save_render = bool(self.config.get("evaluation", {}).get(
+            "save_render", False))
+        render_dir = os.path.join(self.output_path, "eval_render")
+        if save_render:
+            os.makedirs(render_dir, exist_ok=True)
         Twm_chain = np.eye(4)
         for sm in self._submaps():
             Twm_chain = Twm_chain @ sm.T_prev_m
@@ -80,13 +87,23 @@ class Evaluator:
                 gt_c = jnp.asarray(gt_color)
                 psnrs.append(float(psnr(img, gt_c)))
                 ssims.append(float(ssim(img, gt_c)))
+                lp = lpips(img, gt_c)
+                if lp is not None:
+                    lpipss.append(lp)
                 mask = gt_depth > 0
                 dl1 = np.abs(np.asarray(out.depth) - gt_depth)[mask]
                 depth_l1s.append(float(dl1.mean()) if dl1.size else 0.0)
+                if save_render:
+                    from PIL import Image
+
+                    Image.fromarray(
+                        (np.asarray(img) * 255).astype(np.uint8)
+                    ).save(os.path.join(render_dir, f"{int(fid):05d}.png"))
         out = {
             "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
             "mean_depth_l1": float(np.mean(depth_l1s)) if depth_l1s else 0.0,
+            "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
             "num_views": len(psnrs),
         }
         with open(os.path.join(self.output_path, "rendering_metrics.json"), "w") as f:
@@ -220,12 +237,76 @@ class Evaluator:
         with open(os.path.join(self.output_path,
                                "rendering_metrics_global.json"), "w") as f:
             json.dump(res, f, indent=2)
+        # Export the refined global map (reference mesh/global_splats.ply).
+        from ..utils.ply import save_gaussian_ply
+
+        mesh_dir = os.path.join(self.output_path, "mesh")
+        os.makedirs(mesh_dir, exist_ok=True)
+        keep = np.asarray(alive)
+        save_gaussian_ply(
+            os.path.join(mesh_dir, "global_splats.ply"),
+            {
+                "xyz": np.asarray(params.xyz)[keep],
+                "f_dc": np.asarray(params.f_dc)[keep],
+                "f_rest": np.asarray(params.f_rest)[keep],
+                "log_scales": np.asarray(params.log_scales)[keep],
+                "quats": np.asarray(params.quats)[keep],
+                "opacity_logits": np.asarray(params.opacity_logits)[keep],
+            },
+        )
+        return res
+
+    def run_nvs_eval(self) -> Dict:
+        """ScanNet++ novel-view PSNR on the held-out test split
+        (reference :270-298). Requires a dataset exposing `test_ids`."""
+        test_ids = sorted(getattr(self.dataset, "test_ids", []) or [])
+        if not test_ids:
+            return {}
+        from ..core.sh import sh_to_rgb as _s2r
+
+        psnrs = []
+        Twm_chain = np.eye(4)
+        submaps = list(self._submaps())
+        chains = []
+        for sm in submaps:
+            Twm_chain = Twm_chain @ sm.T_prev_m
+            chains.append(Twm_chain.copy())
+        for fid in test_ids:
+            if fid >= len(self.dataset):
+                continue
+            # Nearest submap by keyframe coverage.
+            best = min(
+                range(len(submaps)),
+                key=lambda s: min(
+                    abs(int(k) - fid) for k in submaps[s].kf_frame_ids
+                ),
+            )
+            g = submaps[best].restore_world(chains[best])
+            out = render(
+                jnp.asarray(g["xyz"]), jnp.asarray(g["quats"]),
+                jnp.asarray(g["log_scales"]), jnp.asarray(g["opacity_logits"]),
+                _s2r(jnp.asarray(g["f_dc"])),
+                jnp.asarray(np.linalg.inv(self.estimated_c2ws[fid]),
+                            dtype=jnp.float32),
+                self.cam, self.rcfg,
+            )
+            _, gt_color, _, _ = self.dataset[int(fid)]
+            psnrs.append(float(psnr(jnp.clip(out.color, 0, 1),
+                                    jnp.asarray(gt_color))))
+        res = {"nvs_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+               "num_views": len(psnrs)}
+        nvs_dir = os.path.join(self.output_path, "nvs_eval")
+        os.makedirs(nvs_dir, exist_ok=True)
+        with open(os.path.join(nvs_dir, "results.json"), "w") as f:
+            json.dump(res, f, indent=2)
         return res
 
     # ------------------------------------------------------------------
     def run(self) -> Dict:
         results = {"trajectory": self.run_trajectory_eval()}
         results["rendering"] = self.run_rendering_eval()
+        if getattr(self.dataset, "test_ids", None):
+            results["nvs"] = self.run_nvs_eval()
         ev = self.config.get("evaluation", {})
         if ev.get("eval_mesh", False):
             results["reconstruction"] = self.run_reconstruction_eval()

@@ -245,34 +245,28 @@ def _build_tile_table(
     return table[:num_tiles], jnp.minimum(count, cfg.tile_capacity)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_entries(attrs_t, slot_gid, inv_pos, dup2: int):
+@jax.custom_vjp
+def _gather_entries(attrs_t, slot_gid):
     """entries_t (NCH, Epad) = attrs_t[:, slot_gid] with a hand-written VJP.
 
-    The naive VJP of this gather is a scatter-add over Epad rows — measured
-    ~30x slower than a gather on this TPU. Instead the backward uses the
-    precomputed inverse permutation `inv_pos` (presort entry -> padded slot,
-    Epad for dropped entries): gather the cotangent back into presort order,
-    reshape (NCH, N, dup^2), and reduce over the duplication axis.
+    XLA's autodiff of this gather emits a row-granular scatter that measures
+    ~10x slower than the column-layout scatter-add used here (TPU gathers and
+    scatters cost per-INDEX, ~40ns each, independent of row width — so the
+    (NCH, .) column orientation with one index list is the cheap shape).
+    Empty slots carry the sentinel column (last), which accumulates their
+    zero cotangents harmlessly and is dropped.
     """
     return attrs_t[:, slot_gid]
 
 
-def _gather_entries_fwd(attrs_t, slot_gid, inv_pos, dup2):
-    return attrs_t[:, slot_gid], (slot_gid, inv_pos, attrs_t.shape)
+def _gather_entries_fwd(attrs_t, slot_gid):
+    return attrs_t[:, slot_gid], (slot_gid, attrs_t.shape)
 
 
-def _gather_entries_bwd(dup2, res, g):
-    slot_gid, inv_pos, shape = res
-    nch, n_plus = shape
-    e_pad = g.shape[1]
-    safe = jnp.clip(inv_pos, 0, e_pad - 1)
-    g_pre = jnp.where((inv_pos >= 0) & (inv_pos < e_pad), g[:, safe], 0.0)
-    g_per_gauss = g_pre.reshape(nch, n_plus - 1, dup2).sum(axis=-1)
-    d_attrs = jnp.concatenate(
-        [g_per_gauss, jnp.zeros((nch, 1), g.dtype)], axis=1
-    )
-    return (d_attrs, None, None)
+def _gather_entries_bwd(res, g):
+    slot_gid, shape = res
+    d_attrs = jnp.zeros(shape, g.dtype).at[:, slot_gid].add(g)
+    return (d_attrs, None)
 
 
 _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
@@ -301,7 +295,6 @@ def _composite_pallas(
     tiles_y = -(-cam.height // cfg.tile)
     num_tiles = tiles_x * tiles_y
     ts = cfg.tile
-    dup2 = cfg.dup_side * cfg.dup_side
     s_tile, s_gauss, s_flat, start, count = _bin_entries(proj, cam, cfg)
     e_raw = s_gauss.shape[0]
 
@@ -326,10 +319,6 @@ def _composite_pallas(
     slot_gid = jnp.full((e_pad,), n, jnp.int32).at[dest].set(
         jnp.clip(s_gauss_c, 0, n - 1), mode="drop"
     )
-    # inverse permutation for the gather VJP: presort entry -> padded slot.
-    inv_pos = jnp.full((e_raw,), e_pad, jnp.int32).at[
-        jnp.where(ok, s_flat_c, e_raw)
-    ].set(dest, mode="drop")
 
     # 3. attr-major per-gaussian table (NCH, N+1) with an inert sentinel row.
     zeros_n = jnp.zeros((n,), jnp.float32)
@@ -344,7 +333,7 @@ def _composite_pallas(
         axis=0,
     )
     attrs_t = jnp.concatenate([attrs, jnp.zeros((NCH, 1), jnp.float32)], axis=1)
-    entries_t = _gather_entries(attrs_t, slot_gid, inv_pos, dup2)
+    entries_t = _gather_entries(attrs_t, slot_gid)
 
     out = composite_entries(entries_t, pstart, count, num_tiles,
                             pchunk, ts, tiles_x, cfg.group)

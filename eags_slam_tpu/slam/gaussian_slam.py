@@ -117,6 +117,9 @@ class GaussianSLAM:
                              config.get("use_wandb", False))
         self.tracker = Tracker(self.tcfg, self.rcfg, self.cam)
 
+        import concurrent.futures
+
+        self._vo_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self.odometer = None
         if self.odometry_type == "odometer" or tc.get(
             "help_camera_initialization", False
@@ -306,6 +309,15 @@ class GaussianSLAM:
                     self.odometer.step(rgb0, d0, self.dataset.timestamps[frame_id])
                     self.odometer.set_pose(frame_id, gt_pose)
             else:
+                # VO step dispatched concurrently with candidate prep
+                # (reference P2: 1-worker future, tracker.py:199-202).
+                vo_future = None
+                if self.odometer is not None:
+                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
+                    vo_future = self._vo_pool.submit(
+                        self.odometer.step, rgb0, d0,
+                        self.dataset.timestamps[frame_id],
+                    )
                 candidates = {
                     "const_speed": np.asarray(
                         const_speed_extrapolate(
@@ -315,15 +327,10 @@ class GaussianSLAM:
                     ),
                     "previous": self.estimated_c2ws[frame_id - 1],
                 }
-                if self.odometer is not None and frame_id >= 3:
-                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
-                    vo_c2w = self.odometer.step(
-                        rgb0, d0, self.dataset.timestamps[frame_id]
-                    )
-                    candidates["odometer"] = vo_c2w
-                elif self.odometer is not None:
-                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
-                    self.odometer.step(rgb0, d0, self.dataset.timestamps[frame_id])
+                if vo_future is not None:
+                    vo_c2w = vo_future.result()
+                    if frame_id >= 3:
+                        candidates["odometer"] = vo_c2w
 
                 c2w, exposure, stats = self.tracker.track(
                     self.state.params, self.state.alive,
@@ -387,11 +394,37 @@ class GaussianSLAM:
             "map_ms_avg": 1e3 * float(np.mean(self.map_times)) if self.map_times else 0,
             "tracker": self.tracker.report(),
         }
+        if self.odometer is not None:
+            report["vo"] = self.odometer.report()
+        self._save_iteration_histogram()
         self.logger.log("report", report)
         return report
+
+    def _save_iteration_histogram(self):
+        """Tracking iteration-count histogram PNG (reference
+        gaussian_slam.py:149-167, tracking_vis/). Verbose-gated."""
+        if not self.verbose or not self.tracker.iter_cnt:
+            return
+        try:  # pragma: no cover - visualization only
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            d = os.path.join(self.output_path, "tracking_vis")
+            os.makedirs(d, exist_ok=True)
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.hist(self.tracker.iter_cnt, bins=20)
+            ax.set_xlabel("tracking iterations")
+            ax.set_ylabel("frames")
+            fig.savefig(os.path.join(d, "iteration_histogram.png"), dpi=80)
+            plt.close(fig)
+        except Exception:
+            pass
 
     def cleanup(self):
         self.dataset.close()
         self.logger.close()
+        self._vo_pool.shutdown(wait=False)
         if self.loop_closer is not None:
             self.loop_closer.shutdown()

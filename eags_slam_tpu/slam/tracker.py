@@ -100,8 +100,18 @@ def _losses(
     else:
         color_px = color_px * tracking_mask[..., None]
 
-    color_loss = jnp.sum(color_px) / jnp.maximum(jnp.sum(color_px > 0), 1)
-    depth_loss = jnp.sum(depth_px) / jnp.maximum(jnp.sum(depth_px > 0), 1)
+    # Empty-render guard: a pose from which nothing renders has zero masked
+    # pixels; sum/count would yield 0 and "win" the candidate selection (the
+    # reference hits 0/0 = NaN there, which torch comparisons also never
+    # select). Make it explicitly +inf.
+    n_color = jnp.sum(color_px > 0)
+    n_depth = jnp.sum(depth_px > 0)
+    color_loss = jnp.where(
+        n_color > 0, jnp.sum(color_px) / jnp.maximum(n_color, 1), jnp.inf
+    )
+    depth_loss = jnp.where(
+        n_depth > 0, jnp.sum(depth_px) / jnp.maximum(n_depth, 1), jnp.inf
+    )
     return color_loss, depth_loss
 
 
