@@ -41,9 +41,22 @@ class GaussianParams(NamedTuple):
     opacity_logits: jnp.ndarray  # (N, 1)
 
 
+class OptimizedParams(NamedTuple):
+    """The SLAM-trainable subset (SH features frozen during mapping)."""
+
+    xyz: jnp.ndarray
+    log_scales: jnp.ndarray
+    quats: jnp.ndarray
+    opacity_logits: jnp.ndarray
+
+
 class GaussianState(NamedTuple):
     params: GaussianParams
     alive: jnp.ndarray          # (N,) bool
+    # Adam moments over the SLAM-trainable subset (xyz, log_scales, quats,
+    # opacity_logits — SH features are frozen during mapping, mapper.py:358).
+    # Kept across map() calls within a submap like the reference's per-submap
+    # torch optimizer; `insert` zeroes the rows of newly seeded gaussians.
     adam: optim.AdamState
 
 
@@ -60,12 +73,17 @@ def empty_params(capacity: int) -> GaussianParams:
     )
 
 
+def opt_subset(params: GaussianParams) -> OptimizedParams:
+    return OptimizedParams(params.xyz, params.log_scales, params.quats,
+                           params.opacity_logits)
+
+
 def empty_state(capacity: int) -> GaussianState:
     params = empty_params(capacity)
     return GaussianState(
         params=params,
         alive=jnp.zeros((capacity,), bool),
-        adam=optim.adam_init(params),
+        adam=optim.adam_init(opt_subset(params)),
     )
 
 

@@ -166,7 +166,8 @@ def project_gaussians(
     return _Projected(mean2d, conic, z, radius, opacity)
 
 
-def _bin_entries(proj: _Projected, cam: Camera, cfg: RasterConfig):
+def _bin_entries(proj: _Projected, cam: Camera, cfg: RasterConfig,
+                 margin: float = 0.0):
     """Duplicate gaussians into covered tiles and sort by (tile, depth).
 
     Returns (s_tile, s_gauss, start, count): sorted entry arrays of length
@@ -180,7 +181,7 @@ def _bin_entries(proj: _Projected, cam: Camera, cfg: RasterConfig):
     d = cfg.dup_side
 
     u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
-    r = proj.radius
+    r = jnp.where(proj.radius > 0, proj.radius + margin, 0.0)
     tx0 = jnp.clip(jnp.floor((u - r) / cfg.tile), 0, tiles_x - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((v - r) / cfg.tile), 0, tiles_y - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((u + r) / cfg.tile), 0, tiles_x - 1).astype(jnp.int32)
@@ -272,42 +273,35 @@ def _gather_entries_bwd(res, g):
 _gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
-def _composite_pallas(
-    proj: _Projected, colors: jnp.ndarray, cam: Camera, cfg: RasterConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pallas-backed compositing.
+def _build_slots(proj: _Projected, cam: Camera, cfg: RasterConfig,
+                 margin: float = 0.0):
+    """Binning -> 128-aligned per-tile slot layout.
 
-    Layout pipeline (every step sized by measurement on this TPU):
+    Steps (each sized by measurement on this TPU):
       1. truncate the sorted entries to a static budget
          E_cap = entry_cap_factor * N (sorted order is valid-first, so this
          only drops entries when the scene overflows the budget);
       2. scatter int32 ids into a 128-aligned per-tile padded layout (TPU HBM
          slices must be 128-lane aligned) — scattering 4-byte ids is ~8x
-         cheaper than scattering 64-byte attribute rows;
-      3. one attr-major gather builds entries_t (NCH, Epad); its custom VJP
-         avoids the pathological scatter-add (see _gather_entries).
-    """
-    from .rasterizer_pallas import NCH, composite_entries
+         cheaper than scattering 64-byte attribute rows.
 
+    Returns (slot_gid (Epad,), pstart (T,), count (T,)).
+    """
     pchunk = 128
     n = proj.mean2d.shape[0]
     tiles_x = -(-cam.width // cfg.tile)
     tiles_y = -(-cam.height // cfg.tile)
     num_tiles = tiles_x * tiles_y
-    ts = cfg.tile
-    s_tile, s_gauss, s_flat, start, count = _bin_entries(proj, cam, cfg)
+    s_tile, s_gauss, s_flat, start, count = _bin_entries(proj, cam, cfg, margin)
     e_raw = s_gauss.shape[0]
 
-    # 1. static entry budget (sorted arrays are valid-first).
     e_cap = min(e_raw, ((cfg.entry_cap_factor * n + pchunk - 1) // pchunk) * pchunk)
     start = jnp.minimum(start, e_cap)
     count = jnp.minimum(jnp.minimum(start + count, e_cap) - start,
                         cfg.max_per_tile)
     s_gauss_c = s_gauss[:e_cap]
-    s_flat_c = s_flat[:e_cap]
     s_tile_c = s_tile[:e_cap]
 
-    # 2. aligned padded layout: scatter ids only.
     padded = ((count + pchunk - 1) // pchunk) * pchunk
     pstart = (jnp.cumsum(padded) - padded).astype(jnp.int32)
     e_pad = e_cap + pchunk * num_tiles  # static
@@ -319,6 +313,32 @@ def _composite_pallas(
     slot_gid = jnp.full((e_pad,), n, jnp.int32).at[dest].set(
         jnp.clip(s_gauss_c, 0, n - 1), mode="drop"
     )
+    return slot_gid, pstart, count
+
+
+def _assemble_image(out, cam: Camera, cfg: RasterConfig):
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    ts = cfg.tile
+    img = out[: tiles_x * tiles_y, :5].reshape(tiles_y, tiles_x, 5, ts, ts)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * ts, tiles_x * ts, 5)
+    return img[..., :3], img[..., 3], img[..., 4]
+
+
+def _composite_pallas(
+    proj: _Projected, colors: jnp.ndarray, cam: Camera, cfg: RasterConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pallas-backed compositing: slot layout + one attr-major gather whose
+    custom VJP avoids the pathological scatter-add (see _gather_entries)."""
+    from .rasterizer_pallas import NCH, composite_entries
+
+    pchunk = 128
+    n = proj.mean2d.shape[0]
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    ts = cfg.tile
+    slot_gid, pstart, count = _build_slots(proj, cam, cfg)
 
     # 3. attr-major per-gaussian table (NCH, N+1) with an inert sentinel row.
     zeros_n = jnp.zeros((n,), jnp.float32)
@@ -337,9 +357,7 @@ def _composite_pallas(
 
     out = composite_entries(entries_t, pstart, count, num_tiles,
                             pchunk, ts, tiles_x, cfg.group)
-    img = out[:num_tiles, :5].reshape(tiles_y, tiles_x, 5, ts, ts)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * ts, tiles_x * ts, 5)
-    return img[..., :3], img[..., 3], img[..., 4]
+    return _assemble_image(out, cam, cfg)
 
 
 def _composite(
@@ -471,4 +489,148 @@ def render(
     depth = depth[: cam.height, : cam.width]
     alpha = alpha[: cam.height, : cam.width]
     radii = jnp.ceil(proj.radius).astype(jnp.int32)
+    return RenderOutput(color, depth, alpha, radii)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-binning pose refinement (tracking fast path)
+# ---------------------------------------------------------------------------
+
+
+class FrozenBinning(NamedTuple):
+    """Per-entry STATIC 3D attributes + slot layout, built once per frame.
+
+    During pose refinement the gaussians are constants and the pose moves by
+    at most a few pixels, so the tile assignment (binning) from the init pose
+    stays valid given a small margin. Freezing it removes the per-iteration
+    sort + scatter + gather (each costs per-INDEX on this TPU, see PERF.md):
+    a tracking iteration becomes elementwise re-projection of the frozen
+    entries + the compositing kernel. The reference rebins every iteration
+    because CUDA makes that free; the observable difference here is only that
+    a gaussian whose footprint moves across a tile boundary by more than
+    `margin` px mid-refinement is clipped at that tile's edge.
+
+    e3d rows (NCH=16, Epad): 0-2 xyz(world), 3-8 cov3d packed
+    (c00,c01,c02,c11,c12,c22), 9 opacity (post-sigmoid, 0 for dead/sentinel),
+    10-12 rgb, 13-15 pad.
+    """
+
+    e3d: jnp.ndarray      # (NCH, Epad) f32, stop-gradient static
+    pstart: jnp.ndarray   # (T,)
+    count: jnp.ndarray    # (T,)
+
+
+def freeze_binning(
+    means3d, quats, log_scales, opacity_logits, colors, init_w2c,
+    cam: Camera, cfg: RasterConfig, alive=None, margin: Optional[float] = None,
+) -> FrozenBinning:
+    """Bin once at the init pose (with margin) and gather per-entry 3D attrs."""
+    from .rasterizer_pallas import NCH
+
+    n = means3d.shape[0]
+    if margin is None:
+        margin = cfg.tile / 2.0
+    proj = project_gaussians(means3d, quats, log_scales, opacity_logits,
+                             init_w2c, cam, cfg, alive)
+    slot_gid, pstart, count = _build_slots(proj, cam, cfg, margin)
+
+    # World-frame 3D covariance, packed symmetric (elementwise).
+    S = jnp.exp(log_scales)
+    Rg = _quat_to_rotmat(quats)
+    M = Rg * S[..., None, :]
+    c00 = jnp.sum(M[:, 0] * M[:, 0], -1)
+    c01 = jnp.sum(M[:, 0] * M[:, 1], -1)
+    c02 = jnp.sum(M[:, 0] * M[:, 2], -1)
+    c11 = jnp.sum(M[:, 1] * M[:, 1], -1)
+    c12 = jnp.sum(M[:, 1] * M[:, 2], -1)
+    c22 = jnp.sum(M[:, 2] * M[:, 2], -1)
+    opac = proj.opacity * (proj.radius > 0)  # dead/culled -> 0
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    attrs = jnp.stack(
+        [means3d[:, 0], means3d[:, 1], means3d[:, 2],
+         c00, c01, c02, c11, c12, c22, opac,
+         colors[:, 0], colors[:, 1], colors[:, 2]]
+        + [zeros_n] * (NCH - 13),
+        axis=0,
+    )
+    attrs_t = jnp.concatenate([attrs, jnp.zeros((NCH, 1), jnp.float32)], 1)
+    e3d = jax.lax.stop_gradient(attrs_t[:, slot_gid])
+    return FrozenBinning(e3d, pstart, count)
+
+
+def render_frozen(
+    fb: FrozenBinning, w2c, cam: Camera, cfg: RasterConfig
+) -> RenderOutput:
+    """Render from frozen binning; differentiable w.r.t. `w2c` only.
+
+    Per-entry EWA projection is pure elementwise math over Epad; the
+    compositing kernel's custom VJP returns per-entry cotangents which chain
+    elementwise back to the pose — no per-iteration sort/scatter/gather.
+    """
+    from .rasterizer_pallas import NCH, composite_entries
+
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    x = fb.e3d[0:3]                                    # (3, Epad)
+    p = R @ x + t[:, None]                             # camera frame
+    z = p[2]
+    vis = z > cfg.near
+    zc = jnp.maximum(z, cfg.near)
+    inv_z = 1.0 / zc
+    u = p[0] * inv_z * cam.fx + cam.cx
+    v = p[1] * inv_z * cam.fy + cam.cy
+
+    # C = R cov3d R^T per entry (packed symmetric), then cov2d = J C J^T.
+    s00, s01, s02, s11, s12, s22 = (fb.e3d[3], fb.e3d[4], fb.e3d[5],
+                                    fb.e3d[6], fb.e3d[7], fb.e3d[8])
+
+    def sandwich_row(ri, rj):
+        # ri . Sigma . rj for R rows ri, rj (3-vectors of scalars).
+        return (
+            ri[0] * (s00 * rj[0] + s01 * rj[1] + s02 * rj[2])
+            + ri[1] * (s01 * rj[0] + s11 * rj[1] + s12 * rj[2])
+            + ri[2] * (s02 * rj[0] + s12 * rj[1] + s22 * rj[2])
+        )
+
+    r0, r1, r2 = R[0], R[1], R[2]
+    C00 = sandwich_row(r0, r0)
+    C01 = sandwich_row(r0, r1)
+    C02 = sandwich_row(r0, r2)
+    C11 = sandwich_row(r1, r1)
+    C12 = sandwich_row(r1, r2)
+    C22 = sandwich_row(r2, r2)
+
+    lim_x = 1.3 * (0.5 * cam.width / cam.fx)
+    lim_y = 1.3 * (0.5 * cam.height / cam.fy)
+    tx = jnp.clip(p[0] * inv_z, -lim_x, lim_x) * zc
+    ty = jnp.clip(p[1] * inv_z, -lim_y, lim_y) * zc
+    j00 = cam.fx * inv_z
+    j02 = -cam.fx * tx * inv_z * inv_z
+    j11 = cam.fy * inv_z
+    j12 = -cam.fy * ty * inv_z * inv_z
+    a = j00 * (j00 * C00 + j02 * C02) + j02 * (j00 * C02 + j02 * C22) + cfg.low_pass
+    b = j11 * (j00 * C01 + j02 * C12) + j12 * (j00 * C02 + j02 * C22)
+    c = j11 * (j11 * C11 + j12 * C12) + j12 * (j11 * C12 + j12 * C22) + cfg.low_pass
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    inv_det = 1.0 / det
+
+    opac = fb.e3d[9] * vis
+    e_pad = fb.e3d.shape[1]
+    entries_t = jnp.stack(
+        [u, v, c * inv_det, -b * inv_det, a * inv_det, opac,
+         fb.e3d[10], fb.e3d[11], fb.e3d[12], z]
+        + [jnp.zeros((e_pad,), jnp.float32)] * (NCH - 10),
+        axis=0,
+    )
+
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    out = composite_entries(entries_t, fb.pstart, fb.count,
+                            tiles_x * tiles_y, 128, cfg.tile, tiles_x,
+                            cfg.group)
+    color, depth, alpha = _assemble_image(out, cam, cfg)
+    color = color[: cam.height, : cam.width]
+    depth = depth[: cam.height, : cam.width]
+    alpha = alpha[: cam.height, : cam.width]
+    radii = jnp.zeros((1,), jnp.int32)  # not tracked on the frozen path
     return RenderOutput(color, depth, alpha, radii)

@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import Camera, backproject
-from ..core.gaussians import (GaussianParams, GaussianState, concat_rows,
-                              edge_pair_seeds, edge_rows, insert, point_rows,
-                              prune)
+from ..core.gaussians import (GaussianParams, GaussianState, OptimizedParams,
+                              concat_rows, edge_pair_seeds, edge_rows, insert,
+                              point_rows, prune)
 from ..core.sh import sh_to_rgb
 from ..ops import knn
 from ..ops.image import dilate, gradient_sample_probs
@@ -93,15 +93,6 @@ def push_keyframe(kfs: KeyframeBatch, slot, color, depth, w2c, exposure
         exposure=kfs.exposure.at[slot].set(exposure),
         valid=kfs.valid.at[slot].set(True),
     )
-
-
-class OptimizedParams(NamedTuple):
-    """The trainable subset during SLAM mapping (SH features frozen)."""
-
-    xyz: jnp.ndarray
-    log_scales: jnp.ndarray
-    quats: jnp.ndarray
-    opacity_logits: jnp.ndarray
 
 
 def _split(params: GaussianParams) -> OptimizedParams:
@@ -390,11 +381,14 @@ def optimize_submap(
     opt0 = _split(state.params)
     init = Carry(
         opt=opt0,
-        adam=optim.adam_init(opt0),
+        # Moments persist across map() calls within a submap (the reference
+        # keeps one torch optimizer per submap; new rows were zeroed by
+        # `insert`).
+        adam=state.adam,
         alive=state.alive,
         best_loss=jnp.array(jnp.inf),
         ckpt_opt=opt0,
-        ckpt_adam=optim.adam_init(opt0),
+        ckpt_adam=state.adam,
         has_ckpt=jnp.array(False),
         early_cnt=jnp.zeros((), jnp.int32),
         stopped=jnp.array(False),
@@ -407,8 +401,11 @@ def optimize_submap(
     opt = jax.tree.map(
         lambda ck, o: jnp.where(roll, ck, o), final.ckpt_opt, final.opt
     )
+    adam = jax.tree.map(
+        lambda ck, a: jnp.where(roll, ck, a), final.ckpt_adam, final.adam
+    )
     alive = final.alive & (jax.nn.sigmoid(opt.opacity_logits[:, 0]) >= 0.01)
     new_state = GaussianState(
-        params=_merge(frozen, opt), alive=alive, adam=state.adam
+        params=_merge(frozen, opt), alive=alive, adam=adam
     )
     return new_state, {"losses": losses}

@@ -28,7 +28,8 @@ from ..core.camera import Camera
 from ..core.gaussians import GaussianParams
 from ..core.se3 import quat_to_rotmat, rotmat_to_quat
 from ..core.sh import sh_to_rgb
-from ..ops.rasterizer import RasterConfig, render
+from ..ops.rasterizer import (FrozenBinning, RasterConfig, freeze_binning,
+                              render, render_frozen)
 from ..utils import optim
 
 
@@ -45,6 +46,11 @@ class TrackerConfig(NamedTuple):
     mask_invalid_depth: bool = False
     early_stop_thre: float = 1e-6
     early_stop_cnt: int = 10
+    # Freeze tile binning at the init pose for the whole refinement loop
+    # (pallas backend): per-iteration cost drops from sort+scatter+gather+
+    # kernel to elementwise reprojection + kernel (see PERF.md / rasterizer
+    # FrozenBinning). margin px guard against footprint drift.
+    frozen_binning: bool = True
     init_err_ratio: float = 5.0
     enable_exposure: bool = False
     plateau_patience: int = 5
@@ -65,14 +71,9 @@ def _rel_matrix(p: PoseParams) -> jnp.ndarray:
     return T
 
 
-def _losses(
-    params: GaussianParams, alive, colors, pose: PoseParams, last_w2c,
-    gt_color, gt_depth, cam: Camera, rcfg: RasterConfig, tcfg: TrackerConfig,
-):
+def _losses_from_output(out, pose: PoseParams, gt_color, gt_depth,
+                        tcfg: TrackerConfig):
     """Masked tracking losses (reference compute_losses tracker.py:69-128)."""
-    w2c = last_w2c @ _rel_matrix(pose)
-    out = render(params.xyz, params.quats, params.log_scales,
-                 params.opacity_logits, colors, w2c, cam, rcfg, alive=alive)
     image = out.color
     if tcfg.enable_exposure:
         image = jnp.clip(jnp.exp(pose.exposure[0]) * image + pose.exposure[1],
@@ -113,6 +114,16 @@ def _losses(
         n_depth > 0, jnp.sum(depth_px) / jnp.maximum(n_depth, 1), jnp.inf
     )
     return color_loss, depth_loss
+
+
+def _losses(
+    params: GaussianParams, alive, colors, pose: PoseParams, last_w2c,
+    gt_color, gt_depth, cam: Camera, rcfg: RasterConfig, tcfg: TrackerConfig,
+):
+    w2c = last_w2c @ _rel_matrix(pose)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, colors, w2c, cam, rcfg, alive=alive)
+    return _losses_from_output(out, pose, gt_color, gt_depth, tcfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
@@ -166,10 +177,26 @@ def refine_pose(
     """
     colors = sh_to_rgb(params.f_dc)
 
-    def loss_fn(pose: PoseParams):
-        cl, dl = _losses(params, alive, colors, pose, last_w2c, gt_color,
-                         gt_depth, cam, rcfg, tcfg)
-        return tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl, (cl, dl)
+    use_frozen = tcfg.frozen_binning and (
+        rcfg.backend == "pallas"
+        or (rcfg.backend == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_frozen:
+        fb = freeze_binning(params.xyz, params.quats, params.log_scales,
+                            params.opacity_logits, colors,
+                            last_w2c @ init_rel, cam, rcfg, alive=alive)
+
+        def loss_fn(pose: PoseParams):
+            out = render_frozen(fb, last_w2c @ _rel_matrix(pose), cam, rcfg)
+            cl, dl = _losses_from_output(out, pose, gt_color, gt_depth, tcfg)
+            return (tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl,
+                    (cl, dl))
+    else:
+        def loss_fn(pose: PoseParams):
+            cl, dl = _losses(params, alive, colors, pose, last_w2c, gt_color,
+                             gt_depth, cam, rcfg, tcfg)
+            return (tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl,
+                    (cl, dl))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
