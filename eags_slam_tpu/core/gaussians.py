@@ -277,3 +277,41 @@ def edge_rows(xyz, rgb, log_scales, quats) -> GaussianParams:
 
 def concat_rows(a: GaussianParams, b: GaussianParams) -> GaussianParams:
     return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed compaction
+# ---------------------------------------------------------------------------
+
+_BUCKETS = (1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 18, 1 << 19)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _gather_alive(params: GaussianParams, alive: jnp.ndarray, m: int):
+    cap = alive.shape[0]
+    idx = jnp.nonzero(alive, size=m, fill_value=cap)[0].astype(jnp.int32)
+    safe = jnp.clip(idx, 0, cap - 1)
+    packed = jax.tree.map(lambda x: x[safe], params)
+    packed_alive = idx < cap
+    return packed, packed_alive, idx
+
+
+def compact_view(state: GaussianState, n_alive: int):
+    """Pack alive gaussians into the smallest static bucket >= n_alive.
+
+    Rendering cost on this TPU scales with the ENTRY COUNT, which scales with
+    the array length fed to the rasterizer — a fixed-capacity submap with few
+    alive gaussians would otherwise pay full-capacity gather/scatter/sort
+    prices every iteration (PERF.md: per-index costs). Buckets keep the
+    number of distinct compiled shapes small (one per power of two).
+
+    Read-only view: callers must not write through it (tracker / LC use).
+    Returns (params, alive) sized to the bucket.
+    """
+    cap = state.alive.shape[0]
+    bucket = next((b for b in _BUCKETS if b >= max(n_alive, 1)), cap)
+    bucket = min(bucket, cap)
+    if bucket >= cap:
+        return state.params, state.alive
+    packed, packed_alive, _ = _gather_alive(state.params, state.alive, bucket)
+    return packed, packed_alive

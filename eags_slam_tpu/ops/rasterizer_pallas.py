@@ -109,19 +109,26 @@ def _fwd_kernel(start_ref, count_ref, entries_hbm, out_ref, scratch, sem,
         pv = lv + ((t // tiles_x) * tile).astype(jnp.float32)
         num_chunks = (count + chunk - 1) // chunk
 
+        def dma(ci):
+            off = pl.multiple_of(start + ci * chunk, chunk)
+            return pltpu.make_async_copy(
+                entries_hbm.at[:, pl.ds(off, chunk)],
+                scratch.at[ci % 2], sem.at[ci % 2],
+            )
+
         def cond(carry):
             ci, log_t, acc = carry
             return (ci < num_chunks) & (jnp.max(log_t) > LOG_T_MIN)
 
         def body(carry):
             ci, log_t, acc = carry
-            off = pl.multiple_of(start + ci * chunk, chunk)
-            cp = pltpu.make_async_copy(
-                entries_hbm.at[:, pl.ds(off, chunk)], scratch, sem
-            )
-            cp.start()
-            cp.wait()
-            e_t = scratch[:, :]
+            dma(ci).wait()
+            # Prefetch the next chunk while computing this one.
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                dma(ci + 1).start()
+
+            e_t = scratch[ci % 2]
             alpha, _, _, _ = _chunk_alpha(e_t, pu, pv, count - ci * chunk,
                                           chunk)
             log1m = jnp.log1p(-alpha)                     # (PX, CHUNK)
@@ -138,9 +145,17 @@ def _fwd_kernel(start_ref, count_ref, entries_hbm, out_ref, scratch, sem,
             log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
             return ci + 1, log_t, acc + contrib
 
+        @pl.when(num_chunks > 0)
+        def _():
+            dma(0).start()
+
         log_t0 = jnp.zeros((px, 1), jnp.float32)
         acc0 = jnp.zeros((NCH, px), jnp.float32)
         eff, log_t, acc = jax.lax.while_loop(cond, body, (0, log_t0, acc0))
+        # Drain the outstanding prefetch when the loop exited early.
+        @pl.when((eff > 0) & (eff < num_chunks))
+        def _():
+            dma(eff).wait()
 
         log_t_row = jnp.transpose(log_t)                  # (1, PX)
         # channel 6 stores the EFFECTIVE chunk count (early termination) so
@@ -187,15 +202,23 @@ def _bwd_kernel(start_ref, count_ref, entries_hbm, fwd_out_ref, dout_ref,
         # Replay only the chunks the forward actually composited.
         num_chunks = fwd_out_ref[g][6, 0].astype(jnp.int32)
 
+        def dma(ci):
+            off = pl.multiple_of(start + ci * chunk, chunk)
+            return pltpu.make_async_copy(
+                entries_hbm.at[:, pl.ds(off, chunk)],
+                scratch.at[ci % 2], sem.at[ci % 2],
+            )
+
         def body(carry):
             ci, log_t_end, b = carry
             off = pl.multiple_of(start + ci * chunk, chunk)
-            cp = pltpu.make_async_copy(
-                entries_hbm.at[:, pl.ds(off, chunk)], scratch, sem
-            )
-            cp.start()
-            cp.wait()
-            e_t = scratch[:, :]
+            dma(ci).wait()
+            # Prefetch the next (reverse-order) chunk during compute.
+            @pl.when(ci - 1 >= 0)
+            def _():
+                dma(ci - 1).start()
+
+            e_t = scratch[ci % 2]
             alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv, count - ci * chunk,
                                              chunk)
             log1m = jnp.log1p(-alpha)
@@ -258,7 +281,11 @@ def _bwd_kernel(start_ref, count_ref, entries_hbm, fwd_out_ref, dout_ref,
             ci, _, _ = carry
             return ci >= 0
 
-        jax.lax.while_loop(
+        @pl.when(num_chunks > 0)
+        def _():
+            dma(num_chunks - 1).start()
+
+        ci_end, _, _ = jax.lax.while_loop(
             cond, body,
             (num_chunks - 1, log_t_final, jnp.zeros((px, 1), jnp.float32)),
         )
@@ -278,8 +305,8 @@ def _make_fwd(num_tiles, e_total, chunk, tile, tiles_x, group):
             (group, NCH, px), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NCH, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NCH, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -306,9 +333,9 @@ def _make_bwd(num_tiles, e_total, chunk, tile, tiles_x, group):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),       # grad entries
         scratch_shapes=[
+            pltpu.VMEM((2, NCH, chunk), jnp.float32),
             pltpu.VMEM((NCH, chunk), jnp.float32),
-            pltpu.VMEM((NCH, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -164,6 +164,7 @@ class GaussianSLAM:
         self.state = G.empty_state(self.capacity)
         self.kfs = M.empty_keyframes(self.mcfg.max_keyframes, self.cam)
         self.n_kf = 0  # permanent keyframes in slots 1..n_kf
+        self._n_alive = 0
 
     def _key(self):
         return np.asarray(
@@ -285,9 +286,10 @@ class GaussianSLAM:
                 self.kfs, self.n_kf, gt_color, gt_depth, w2c32, exposure
             )
         self.submap_kf_frame_ids.append(frame_id)
+        self._n_alive = int(G.num_alive(self.state))
         return {
             "n_added": int(n_added),
-            "n_alive": int(G.num_alive(self.state)),
+            "n_alive": self._n_alive,
             "final_loss": float(opt["losses"][-1, 0]),
         }
 
@@ -332,8 +334,12 @@ class GaussianSLAM:
                     if frame_id >= 3:
                         candidates["odometer"] = vo_c2w
 
+                # Tracking reads the map but never writes it: hand the
+                # tracker a bucket-compacted view so its render cost scales
+                # with the alive count, not the submap capacity.
+                t_params, t_alive = G.compact_view(self.state, self._n_alive)
                 c2w, exposure, stats = self.tracker.track(
-                    self.state.params, self.state.alive,
+                    t_params, t_alive,
                     self.estimated_c2ws[frame_id - 1], candidates,
                     jnp.asarray(color), jnp.asarray(depth),
                 )
