@@ -315,3 +315,56 @@ def compact_view(state: GaussianState, n_alive: int):
         return state.params, state.alive
     packed, packed_alive, _ = _gather_alive(state.params, state.alive, bucket)
     return packed, packed_alive
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _compact_state_jit(state: GaussianState, m: int):
+    cap = state.alive.shape[0]
+    idx = jnp.nonzero(state.alive, size=m, fill_value=cap)[0].astype(jnp.int32)
+    safe = jnp.clip(idx, 0, cap - 1)
+    packed_params = jax.tree.map(lambda x: x[safe], state.params)
+    packed_adam = optim.AdamState(
+        state.adam.step,
+        jax.tree.map(lambda x: x[safe], state.adam.mu),
+        jax.tree.map(lambda x: x[safe], state.adam.nu),
+        jax.tree.map(lambda x: x[safe], state.adam.vmax),
+    )
+    packed = GaussianState(packed_params, idx < cap, packed_adam)
+    return packed, idx
+
+
+def compact_state(state: GaussianState, n_alive: int):
+    """Writable compaction: pack params + alive + Adam moments into a bucket.
+
+    Use with `scatter_state` to write optimization results back. Returns
+    (packed GaussianState, idx) or (state, None) when no bucket is smaller
+    than the capacity.
+    """
+    cap = state.alive.shape[0]
+    bucket = next((b for b in _BUCKETS if b >= max(n_alive, 1)), cap)
+    bucket = min(bucket, cap)
+    if bucket >= cap:
+        return state, None
+    return _compact_state_jit(state, bucket)
+
+
+@jax.jit
+def scatter_state(full: GaussianState, packed: GaussianState,
+                  idx: jnp.ndarray) -> GaussianState:
+    """Write a compacted state's rows back into the full-capacity state.
+
+    Sentinel indices (== capacity) drop. Rows pruned inside the packed
+    optimization clear their alive bits in the full state.
+    """
+    def sc(x, rows):
+        return x.at[idx].set(rows, mode="drop")
+
+    params = jax.tree.map(sc, full.params, packed.params)
+    alive = full.alive.at[idx].set(packed.alive, mode="drop")
+    adam = optim.AdamState(
+        packed.adam.step,
+        jax.tree.map(sc, full.adam.mu, packed.adam.mu),
+        jax.tree.map(sc, full.adam.nu, packed.adam.nu),
+        jax.tree.map(sc, full.adam.vmax, packed.adam.vmax),
+    )
+    return GaussianState(params, alive, adam)

@@ -268,16 +268,24 @@ class GaussianSLAM:
             self.mcfg.outlier_removal and not is_new_submap,
         )
 
-        # 4. optimize (current frame in slot 0)
+        # 4. optimize (current frame in slot 0), on a bucket-compacted state
+        # so the per-iteration render cost follows the alive count
+        # (core.gaussians.compact_state).
         exposure = jnp.asarray(self.exposures_ab[frame_id], dtype=jnp.float32)
         self.kfs = M.push_keyframe(self.kfs, 0, gt_color, gt_depth, w2c32, exposure)
         iters = (
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
-        self.state, opt = M.optimize_submap(
-            self.state, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
+        n_post_grow = int(G.num_alive(self.state))
+        packed, idx = G.compact_state(self.state, n_post_grow)
+        packed, opt = M.optimize_submap(
+            packed, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
             jnp.asarray(self._key()), iters, self.cam, self.rcfg, self.mcfg,
         )
+        if idx is None:
+            self.state = packed
+        else:
+            self.state = G.scatter_state(self.state, packed, idx)
 
         # 5. make the current frame a permanent keyframe
         if self.n_kf + 1 < self.mcfg.max_keyframes:
