@@ -13,22 +13,30 @@ One kernel family replaces BOTH CUDA rasterizers of the reference
 
 Pipeline (all static shapes, fully jit-able):
   1. EWA projection: 3D cov = R S S^T R^T -> 2D conic via the perspective
-     Jacobian (+0.3 px low-pass, as in 3DGS).
-  2. Tile binning: each gaussian is duplicated into <= max_dup covered tiles;
-     entries are sorted with `lax.sort` on (tile_id, depth_bits) — depth bits
-     use the monotone float32->int32 bitcast, so one lexicographic sort yields
-     per-tile front-to-back order. Per-tile segments come from searchsorted;
-     a scatter builds a fixed-capacity (num_tiles, capacity) index table.
-  3. Compositing: vmap over tiles, `lax.scan` over depth chunks. Within a
-     chunk, transmittance is an exclusive cumsum in log space and the
-     color/depth accumulation is a (pixels x chunk) @ (chunk x feat) matmul
-     (MXU). The scan body is `jax.checkpoint`-ed: backward recomputes chunk
-     alphas instead of materializing (num_tiles, capacity, pixels) tensors.
+     Jacobian (+0.3 px low-pass, as in 3DGS), written as elementwise row
+     algebra (batched tiny matmuls lower poorly on TPU).
+  2. Tile binning: each gaussian is duplicated into <= dup_side^2 covered
+     tiles; entries are sorted with `lax.sort` on (tile_id, depth_bits) —
+     depth bits use the monotone float32->int32 bitcast, so one lexicographic
+     sort yields per-tile front-to-back order. Per-tile segments come from
+     searchsorted.
+  3. Compositing, two backends behind `RasterConfig.backend`:
+     - "pallas" (TPU): grouped-grid kernel with count-bounded chunks, early
+       termination, and an analytic reverse-replay backward
+       (rasterizer_pallas.py); entry layout built via int32-id scatter + one
+       attr-major gather with a hand-written scatter-add VJP (per-index
+       gather/scatter pricing on TPU — see PERF.md);
+     - "jnp" (CPU tests / golden reference): a fixed-capacity per-tile index
+       table, vmap over tiles, `jax.checkpoint`-ed `lax.scan` over chunks.
 
-Capacity semantics: entries beyond `tile_capacity` are the *deepest* in that
-tile (sorted order) and are dropped — they are occluded in practice. Radii are
-clamped so a gaussian spans at most `dup_side`^2 tiles; the isotropic
-regularizer + pruning of the SLAM loop keep scales far below this cap.
+Additionally `freeze_binning`/`render_frozen` provide the tracking fast path:
+binning + per-entry 3D attribute gather once per frame, per-iteration
+elementwise reprojection (pose gradients via the compositing kernel's VJP).
+
+Capacity semantics: entries beyond `tile_capacity`/`max_per_tile` are the
+*deepest* in that tile (sorted order) and are dropped — occluded in practice.
+Radii are clamped so a gaussian spans at most `dup_side`^2 tiles; the
+isotropic regularizer + pruning of the SLAM loop keep scales below this cap.
 """
 from __future__ import annotations
 

@@ -207,7 +207,7 @@ def grow_submap(
     """Dedup new samples vs the submap, optional outlier filter, then insert
     point gaussians (+ edge gaussians when an edge image is available)."""
     cand = all_pts_w[sample_ids]
-    keep = radius_keep = knn.radius_dedup(
+    keep = knn.radius_dedup(
         cand, sample_valid, state.params.xyz, state.alive, radius
     )
     if outlier:
