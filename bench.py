@@ -34,7 +34,7 @@ def main():
     config["cam"].update(
         {"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0, "cx": 599.5, "cy": 339.5}
     )
-    config["data"].update({"n_frames": 10 if quick else 26,
+    config["data"].update({"n_frames": 10 if quick else 16,
                            "gaussians_per_wall": 4000, "tile_capacity": 512})
     config["mapping"].update(
         {

@@ -73,6 +73,9 @@ def viewpoint_localize(
         iterations=iters, cam_rot_lr=0.003, cam_trans_lr=0.001,
         w_color_loss=0.95, alpha_thre=0.95, filter_alpha=True,
         filter_outlier_depth=True, soft_alpha=False, early_stop_cnt=15,
+        # Loop-closure drift can exceed the frozen-binning margin (tracking
+        # moves px-scale; LC corrections can be dm-scale) — rebin per step.
+        frozen_binning=False,
     )
     last_w2c = np.linalg.inv(np.asarray(view_c2w, np.float64))
     rel, _, stats = refine_pose(
