@@ -171,6 +171,10 @@ def lm_align(
     _, r, w, _, _, ok = _residuals(
         final.R, final.t, pts, valid, kf_gx, kf_gy, kf_dt, cam, s
     )
+    # good/bad feed the keyframe gate (tracker.cpp:394-395). Points that
+    # project out of bounds or beyond the edge-distance filter are BAD, not
+    # invisible — otherwise the ratio stays flat as the view drifts away from
+    # the keyframe and promotion never fires.
     good = jnp.sum(ok & (r < s.huber_edge))
-    bad = jnp.sum(ok & (r >= s.huber_edge))
+    bad = jnp.sum(valid) - good
     return LMResult(final.R, final.t, final.cost, good, bad, final.it)

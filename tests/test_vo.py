@@ -98,3 +98,19 @@ def test_vo_set_pose_and_edges():
     np.testing.assert_allclose(vo.get_pose(0), T)
     rep = vo.report()
     assert rep["n_keyframes"] >= 1
+
+
+def test_vo_promotes_keyframes_on_large_motion():
+    """Histogram-voting / good-bad gates must promote new keyframes as the
+    view drifts away from the first one (tracker.cpp:120-226 behavior)."""
+    vo = EdgeVO(CFG, CAM)
+    for i in range(8):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.15 * i, 0.0, 0.0]  # ~4 px/frame, large drift
+        rgb, depth = make_frame(c2w)
+        vo.step(rgb, depth, i / 30.0)
+    rep = vo.report()
+    assert rep["n_keyframes"] >= 2, rep
+    # Pose graph stays consistent: world poses monotone in x.
+    xs = [vo.get_pose(i)[0, 3] for i in range(8)]
+    assert all(b > a - 1e-6 for a, b in zip(xs, xs[1:])), xs
