@@ -71,7 +71,11 @@ class LoopClosure:
         self.desc = GlobalDesc()
         self.infos: List[_SubmapInfo] = []
         self.loop_edges: List[tuple] = []   # (i, j, Z, info)
-        self._corrected: Optional[np.ndarray] = None
+        # Pending (start, end|None, corr 4x4) left-multiplications for the
+        # main loop to apply to its CURRENT pose array at drain time.
+        # end=None means "to the end of the array" (the last submap's
+        # correction also covers frames tracked after the submit boundary).
+        self._pending: List[tuple] = []
         self._twc: Optional[np.ndarray] = None
         self._lock = threading.Lock()
         self._futures: List[concurrent.futures.Future] = []
@@ -102,10 +106,20 @@ class LoopClosure:
             if exc is not None:
                 raise exc
 
-    def drain_corrections(self) -> Optional[np.ndarray]:
+    def drain_corrections(self) -> Optional[List[tuple]]:
+        """Return pending (start, end|None, corr) left-multiplications.
+
+        The caller applies them in order to its CURRENT pose array (NOT a
+        snapshot): frames tracked between submit and drain keep their values
+        and inherit the last submap's correction, instead of reverting to a
+        stale snapshot (reference lc.py keeps its own Twc and never feeds
+        corrections back; we do feed back, so deltas — not snapshots — are
+        the only safe interface)."""
         with self._lock:
-            out = self._corrected
-            self._corrected = None
+            if not self._pending:
+                return None
+            out = self._pending
+            self._pending = []
         return out
 
     def finalize(self):
@@ -138,9 +152,14 @@ class LoopClosure:
 
     def _load_submap_info(self, submap_id: int, end_frame: int):
         """Load the npz, compute keyframe descriptors + self-sim thresholds
-        (reference update_submaps_info_from_file :97-124)."""
+        (reference update_submaps_info_from_file :97-124). Loads by the
+        SUBMITTED submap id (disk ids may have gaps when an empty submap was
+        skipped); a missing file is loud, not silent."""
         path = os.path.join(self.output_path, "submaps", f"{submap_id:06d}.npz")
         if not os.path.exists(path):
+            import warnings
+
+            warnings.warn(f"loop closure: submap file missing: {path}")
             return
         sm = Submap.load(path)
         descs = []
@@ -222,7 +241,7 @@ class LoopClosure:
     def _run(self, submap_id: int, frame_id: int, twc: np.ndarray):
         """Background LC pass (reference run :614-637 + loop_closure
         :279-331)."""
-        self._load_submap_info(len(self.infos), frame_id)
+        self._load_submap_info(submap_id, frame_id)
         if len(self.infos) == 0:
             return
         cur = len(self.infos) - 1
@@ -268,21 +287,28 @@ class LoopClosure:
 
     def _apply_corrections(self, anchors: np.ndarray, corrected: np.ndarray,
                            twc: np.ndarray):
-        """Rewrite Twc ranges + per-submap T_prev_m (reference :568-596)."""
+        """Rewrite Twc ranges + per-submap T_prev_m (reference :568-596).
+
+        Publishes per-range correction TRANSFORMS (not the corrected
+        snapshot) so the main loop can apply them to its live pose array;
+        the last range is open-ended to also correct frames tracked after
+        the submit boundary."""
         n_frames = twc.shape[0]
+        pending = []
         for s, info in enumerate(self.infos):
             corr = corrected[s] @ np.linalg.inv(anchors[s])
             start = info.start_frame
-            end = info.end_frame if s == len(self.infos) - 1 else (
-                self.infos[s + 1].start_frame
+            last = s == len(self.infos) - 1
+            end = n_frames if last else min(
+                self.infos[s + 1].start_frame, n_frames
             )
-            end = min(end, n_frames)
             twc[start:end] = corr @ twc[start:end]
+            pending.append((start, None if last else end, corr))
             # Rewrite T_prev_m in memory and on disk.
             prev = corrected[s - 1] if s > 0 else np.eye(4)
             new_T_prev_m = np.linalg.inv(prev) @ corrected[s]
             info.submap.T_prev_m = new_T_prev_m
             info.submap.save(self.output_path)
         with self._lock:
-            self._corrected = twc
+            self._pending.extend(pending)
             self._twc = twc
