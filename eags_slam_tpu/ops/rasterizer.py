@@ -59,10 +59,12 @@ class RasterConfig(NamedTuple):
     alpha_max: float = 0.99
     sigma_clip: float = 3.0   # radius = sigma_clip * sqrt(lambda_max)
     low_pass: float = 0.3     # 2D covariance dilation (3DGS convention)
-    backend: str = "auto"     # auto | pallas | jnp (auto: pallas on TPU)
+    backend: str = "auto"     # auto | sorted | pallas | jnp (auto: sorted on TPU)
     max_per_tile: int = 8192  # pallas backend: safety cap per tile
     group: int = 16           # pallas backend: tiles per grid program
     entry_cap_factor: int = 4  # pallas: total entry budget = factor * N
+    seg_cap: int = 1024       # sorted backend: per-band segment capacity
+    bands: int = 3            # sorted backend: center-tile neighborhood side
 
 
 class RenderOutput(NamedTuple):
@@ -103,6 +105,7 @@ def project_gaussians(
     cam: Camera,
     cfg: RasterConfig,
     alive: Optional[jnp.ndarray] = None,
+    radius_cap: Optional[float] = None,
 ) -> _Projected:
     """EWA projection of 3D gaussians to image-space conics."""
     R_cw = w2c[:3, :3]
@@ -159,7 +162,9 @@ def project_gaussians(
     lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = cfg.sigma_clip * jnp.sqrt(lam_max)
     # Cap so the span fits the duplication budget (see module docstring).
-    radius = jnp.minimum(radius, 0.5 * cfg.dup_side * cfg.tile - 1.0)
+    if radius_cap is None:
+        radius_cap = 0.5 * cfg.dup_side * cfg.tile - 1.0
+    radius = jnp.minimum(radius, radius_cap)
 
     opacity = jax.nn.sigmoid(opacity_logits.reshape(-1))
     visible = (
@@ -463,6 +468,102 @@ def _composite(
     return img[..., :3], img[..., 3], img[..., 4]
 
 
+# ---------------------------------------------------------------------------
+# Center-tile-sorted backend (v2): N-index binning + in-kernel rank ordering
+# ---------------------------------------------------------------------------
+
+
+def _v2_radius_cap(cfg: RasterConfig) -> float:
+    """Coverage reach must stay within the +-r_n tile neighborhood: a
+    gaussian centered in tile c with radius <= r_n*tile cannot cover a tile
+    outside [c - r_n, c + r_n] in either axis."""
+    return ((cfg.bands - 1) // 2) * cfg.tile - 1.0
+
+
+def _center_sort(proj: _Projected, cam: Camera, cfg: RasterConfig):
+    """Sort gaussians by (center_tile, depth); build the per-(tile, band)
+    segment table consumed by composite_sorted.
+
+    Returns (order (N,), seg_start (T, B), seg_cnt (T, B)).
+    """
+    n = proj.mean2d.shape[0]
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    bands = cfg.bands
+    r_n = (bands - 1) // 2
+
+    u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    ctx = jnp.clip(jnp.floor(u / cfg.tile), 0, tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(v / cfg.tile), 0, tiles_y - 1).astype(jnp.int32)
+    ct = jnp.where(proj.radius > 0, cty * tiles_x + ctx, num_tiles)
+    dbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 1e-6), jnp.int32
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_ct, _, order = jax.lax.sort((ct, dbits, idx), dimension=0, num_keys=2)
+
+    t = jnp.arange(num_tiles, dtype=jnp.int32)
+    tx = t % tiles_x
+    ty = t // tiles_x
+    rows = ty[:, None] + jnp.arange(bands, dtype=jnp.int32)[None, :] - r_n
+    row_ok = (rows >= 0) & (rows < tiles_y)
+    rows_c = jnp.clip(rows, 0, tiles_y - 1)
+    c_lo = rows_c * tiles_x + jnp.clip(tx[:, None] - r_n, 0, tiles_x - 1)
+    c_hi = rows_c * tiles_x + jnp.clip(tx[:, None] + r_n, 0, tiles_x - 1)
+    start = jnp.searchsorted(s_ct, c_lo.reshape(-1)).reshape(num_tiles, bands)
+    end = jnp.searchsorted(
+        s_ct, c_hi.reshape(-1) + 1
+    ).reshape(num_tiles, bands)
+    cnt = jnp.where(row_ok, end - start, 0)
+    # The kernel loads seg_cap lanes from the 128-aligned start; entries
+    # past that window are dropped (highest center columns of the band).
+    lead = start % 128
+    cnt = jnp.minimum(cnt, cfg.seg_cap - lead)
+    return order, start.astype(jnp.int32), cnt.astype(jnp.int32)
+
+
+def _pad_sorted(attrs_sorted: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
+    """Pad (NCH, N) to (NCH, Npad) so any aligned band DMA stays in bounds;
+    pad columns have radius 0 -> never covered."""
+    n = attrs_sorted.shape[1]
+    n128 = -(-n // 128) * 128
+    return jnp.pad(attrs_sorted, ((0, 0), (0, n128 + cfg.seg_cap - n)))
+
+
+def _composite_v2(
+    proj: _Projected, colors: jnp.ndarray, cam: Camera, cfg: RasterConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sorted-backend compositing: one N-column gather (custom scatter-add
+    VJP) replaces the v1 entry expansion/scatter/gather."""
+    from .rasterizer_pallas import NCH
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    n = proj.mean2d.shape[0]
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+
+    order, seg_start, seg_cnt = _center_sort(proj, cam, cfg)
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    attrs = jnp.stack(
+        [
+            proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.opacity,
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            proj.depth,
+            jax.lax.stop_gradient(proj.radius),
+        ] + [zeros_n] * (NCH - 11),
+        axis=0,
+    )
+    attrs_sorted = _pad_sorted(_gather_entries(attrs, order), cfg)
+    out = composite_sorted(attrs_sorted, seg_start, seg_cnt, num_tiles,
+                           cfg.tile, tiles_x, cfg.group, cfg.bands,
+                           cfg.seg_cap)
+    return _assemble_image(out, cam, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def render(
     means3d: jnp.ndarray,
@@ -482,13 +583,16 @@ def render(
     including `w2c` (pose gradients, replacing the reference's
     diff-gaussian-rasterization-w-pose theta/rho plumbing).
     """
-    proj = project_gaussians(
-        means3d, quats, log_scales, opacity_logits, w2c, cam, cfg, alive
-    )
     backend = cfg.backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas":
+        backend = "sorted" if jax.default_backend() == "tpu" else "jnp"
+    proj = project_gaussians(
+        means3d, quats, log_scales, opacity_logits, w2c, cam, cfg, alive,
+        radius_cap=_v2_radius_cap(cfg) if backend == "sorted" else None,
+    )
+    if backend == "sorted":
+        color, depth, alpha = _composite_v2(proj, colors, cam, cfg)
+    elif backend == "pallas":
         color, depth, alpha = _composite_pallas(proj, colors, cam, cfg)
     else:
         table, count = _build_tile_table(proj, cam, cfg)
@@ -566,20 +670,16 @@ def freeze_binning(
     return FrozenBinning(e3d, pstart, count)
 
 
-def render_frozen(
-    fb: FrozenBinning, w2c, cam: Camera, cfg: RasterConfig
-) -> RenderOutput:
-    """Render from frozen binning; differentiable w.r.t. `w2c` only.
-
-    Per-entry EWA projection is pure elementwise math over Epad; the
-    compositing kernel's custom VJP returns per-entry cotangents which chain
-    elementwise back to the pose — no per-iteration sort/scatter/gather.
-    """
-    from .rasterizer_pallas import NCH, composite_entries
-
+def _reproject_rows(e3d, w2c, cam: Camera, cfg: RasterConfig,
+                    radius_cap: Optional[float] = None):
+    """Elementwise EWA reprojection of packed 3D rows (xyz 0-2, cov3d 3-8,
+    opacity 9, rgb 10-12) under a new pose. Returns the kernel channel rows
+    [u, v, conic a/b/c, opacity, rgb, depth, radius]; radius only matters
+    for the sorted backend (coverage) and is None-capped like
+    project_gaussians."""
     R = w2c[:3, :3]
     t = w2c[:3, 3]
-    x = fb.e3d[0:3]                                    # (3, Epad)
+    x = e3d[0:3]                                       # (3, Epad)
     p = R @ x + t[:, None]                             # camera frame
     z = p[2]
     vis = z > cfg.near
@@ -589,8 +689,8 @@ def render_frozen(
     v = p[1] * inv_z * cam.fy + cam.cy
 
     # C = R cov3d R^T per entry (packed symmetric), then cov2d = J C J^T.
-    s00, s01, s02, s11, s12, s22 = (fb.e3d[3], fb.e3d[4], fb.e3d[5],
-                                    fb.e3d[6], fb.e3d[7], fb.e3d[8])
+    s00, s01, s02, s11, s12, s22 = (e3d[3], e3d[4], e3d[5],
+                                    e3d[6], e3d[7], e3d[8])
 
     def sandwich_row(ri, rj):
         # ri . Sigma . rj for R rows ri, rj (3-vectors of scalars).
@@ -622,12 +722,36 @@ def render_frozen(
     det = jnp.maximum(a * c - b * b, 1e-12)
     inv_det = 1.0 / det
 
-    opac = fb.e3d[9] * vis
+    opac = e3d[9] * vis
+
+    mid = 0.5 * (a + c)
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = cfg.sigma_clip * jnp.sqrt(lam_max)
+    if radius_cap is None:
+        radius_cap = 0.5 * cfg.dup_side * cfg.tile - 1.0
+    radius = jnp.minimum(radius, radius_cap)
+    radius = jnp.where(vis & (e3d[9] > 0), radius, 0.0)
+
+    return [u, v, c * inv_det, -b * inv_det, a * inv_det, opac,
+            e3d[10], e3d[11], e3d[12], z,
+            jax.lax.stop_gradient(radius)]
+
+
+def render_frozen(
+    fb: FrozenBinning, w2c, cam: Camera, cfg: RasterConfig
+) -> RenderOutput:
+    """Render from frozen binning; differentiable w.r.t. `w2c` only.
+
+    Per-entry EWA projection is pure elementwise math over Epad; the
+    compositing kernel's custom VJP returns per-entry cotangents which chain
+    elementwise back to the pose — no per-iteration sort/scatter/gather.
+    """
+    from .rasterizer_pallas import NCH, composite_entries
+
+    rows = _reproject_rows(fb.e3d, w2c, cam, cfg)
     e_pad = fb.e3d.shape[1]
     entries_t = jnp.stack(
-        [u, v, c * inv_det, -b * inv_det, a * inv_det, opac,
-         fb.e3d[10], fb.e3d[11], fb.e3d[12], z]
-        + [jnp.zeros((e_pad,), jnp.float32)] * (NCH - 10),
+        rows[:10] + [jnp.zeros((e_pad,), jnp.float32)] * (NCH - 10),
         axis=0,
     )
 
@@ -636,6 +760,98 @@ def render_frozen(
     out = composite_entries(entries_t, fb.pstart, fb.count,
                             tiles_x * tiles_y, 128, cfg.tile, tiles_x,
                             cfg.group)
+    color, depth, alpha = _assemble_image(out, cam, cfg)
+    color = color[: cam.height, : cam.width]
+    depth = depth[: cam.height, : cam.width]
+    alpha = alpha[: cam.height, : cam.width]
+    radii = jnp.zeros((1,), jnp.int32)  # not tracked on the frozen path
+    return RenderOutput(color, depth, alpha, radii)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-sorted pose refinement (tracking fast path, sorted backend)
+# ---------------------------------------------------------------------------
+
+
+class FrozenSorted(NamedTuple):
+    """Center-tile-sorted per-GAUSSIAN 3D attrs + frozen segment table.
+
+    v2 analog of FrozenBinning, but 3D rows are per gaussian (N columns,
+    not N*dup^2 entries — 4x less reprojection work per iteration) and the
+    per-tile depth order is re-derived in-kernel each iteration (exact
+    under pose motion, unlike the v1 frozen layout whose compositing order
+    was the init pose's). Segment membership is frozen: a gaussian whose
+    center drifts so far that it covers a tile outside its init +-r_n
+    neighborhood is clipped — same observable semantics as the v1 margin.
+
+    e3d rows: 0-2 xyz (world), 3-8 cov3d packed, 9 opacity (0 for dead),
+    10-12 rgb, 13-15 pad. All stop-gradient.
+    """
+
+    e3d: jnp.ndarray       # (NCH, Npad)
+    seg_start: jnp.ndarray  # (T, B)
+    seg_cnt: jnp.ndarray   # (T, B)
+
+
+def freeze_sorted(
+    means3d, quats, log_scales, opacity_logits, colors, init_w2c,
+    cam: Camera, cfg: RasterConfig, alive=None,
+) -> FrozenSorted:
+    """Center-sort once at the init pose; gather 3D attrs into that order."""
+    from .rasterizer_pallas import NCH
+
+    n = means3d.shape[0]
+    proj = project_gaussians(means3d, quats, log_scales, opacity_logits,
+                             init_w2c, cam, cfg, alive,
+                             radius_cap=_v2_radius_cap(cfg))
+    order, seg_start, seg_cnt = _center_sort(proj, cam, cfg)
+
+    S = jnp.exp(log_scales)
+    Rg = _quat_to_rotmat(quats)
+    M = Rg * S[..., None, :]
+    c00 = jnp.sum(M[:, 0] * M[:, 0], -1)
+    c01 = jnp.sum(M[:, 0] * M[:, 1], -1)
+    c02 = jnp.sum(M[:, 0] * M[:, 2], -1)
+    c11 = jnp.sum(M[:, 1] * M[:, 1], -1)
+    c12 = jnp.sum(M[:, 1] * M[:, 2], -1)
+    c22 = jnp.sum(M[:, 2] * M[:, 2], -1)
+    opac = proj.opacity * (proj.radius > 0)  # dead/culled -> 0
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    attrs = jnp.stack(
+        [means3d[:, 0], means3d[:, 1], means3d[:, 2],
+         c00, c01, c02, c11, c12, c22, opac,
+         colors[:, 0], colors[:, 1], colors[:, 2]]
+        + [zeros_n] * (NCH - 13),
+        axis=0,
+    )
+    e3d = jax.lax.stop_gradient(
+        _pad_sorted(attrs[:, order], cfg)
+    )
+    return FrozenSorted(e3d, seg_start, seg_cnt)
+
+
+def render_frozen_sorted(
+    fs: FrozenSorted, w2c, cam: Camera, cfg: RasterConfig
+) -> RenderOutput:
+    """Render from a frozen sorted layout; differentiable w.r.t. `w2c`.
+
+    Per-iteration work = elementwise reprojection of N sorted gaussians +
+    the sorted compositing kernel (which re-ranks depths in VMEM)."""
+    from .rasterizer_pallas import NCH
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    rows = _reproject_rows(fs.e3d, w2c, cam, cfg,
+                           radius_cap=_v2_radius_cap(cfg))
+    n_pad = fs.e3d.shape[1]
+    attrs_sorted = jnp.stack(
+        rows + [jnp.zeros((n_pad,), jnp.float32)] * (NCH - len(rows)),
+        axis=0,
+    )
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt,
+                           tiles_x * tiles_y, cfg.tile, tiles_x, cfg.group,
+                           cfg.bands, cfg.seg_cap)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]

@@ -1,0 +1,434 @@
+"""Pallas TPU kernels for the center-tile-sorted rasterizer (v2).
+
+Replaces the v1 entry pipeline (duplicate into N*dup^2 entries -> sort ->
+id-scatter -> attr-gather, ~30 ms of per-index XLA work per render at 262k
+gaussians) with in-kernel binning over a CENTER-TILE-SORTED per-gaussian
+attribute array:
+
+  - XLA sorts the N gaussians once by (center_tile, depth) — N indices, not
+    N*dup^2 — and hands the kernel per-(tile, band) contiguous segments of
+    the sorted array (`rasterizer.py:_sorted_layout`).
+  - The kernel DMAs each tile's `B` band segments (128-aligned, static
+    size), tests exact tile coverage, and restores global front-to-back
+    order with a RANK PASS (rank_j = #keys < key_j via chunked broadcast
+    compares) — no scatter/gather/sort primitives, all VPU compare+reduce.
+  - Depth-ordered chunks are materialized with one-hot MXU matmuls:
+    e_chunk (NCH, 128) = attrs (NCH, CAPT) @ onehot(rank==i)^T.
+  - The backward replays chunks in reverse (same recompute), accumulates
+    per-entry grads into a VMEM (NCH, CAPT) buffer via the transposed
+    one-hot matmul, and read-modify-writes the three band segments of the
+    global grad array once per tile (grid steps are sequential on a
+    single-TensorCore v5e, so cross-tile overlapping segments are safe).
+
+Measured on this v5e (see PERF.md): full fwd compositing incl. in-kernel
+binning ~14 us/tile at ~1000 candidates/tile — vs ~45 us/tile for the v1
+XLA binning + kernel chain. The per-dispatch axon-tunnel floor is ~32 ms;
+all numbers amortized (scripts/raster_bench.py).
+
+Replaces the CUDA tile-binned rasterizers of the reference (SURVEY.md §2.3,
+src/utils/utils.py:149-186 and src/gsr/renderer.py:117-142); pose gradients
+flow through the traced projection as before.
+
+Channel layout (NCH=16, attr-major):
+  0 mean_u, 1 mean_v, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
+  6 r, 7 g, 8 b, 9 depth, 10 radius (coverage only, non-diff), 11-15 pad.
+Out block per tile (NCH, PX): 0-3 rgb+depth, 4 alpha, 5 log_T, 6 effective
+chunk count (for backward replay), 7 n_survivors (debug).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterizer_pallas import (ALPHA_MAX, ALPHA_MIN, LOG_T_MIN, NCH,
+                                _chunk_alpha, _interpret, _pixel_coords,
+                                _tri_excl_T, _tri_suffix_T)
+
+CHUNK = 128
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _band_dma(attrs_hbm, buf, sem, start_al, b, seg_cap):
+    return pltpu.make_async_copy(
+        attrs_hbm.at[:, pl.ds(start_al, seg_cap)],
+        buf.at[:, b * seg_cap:(b + 1) * seg_cap],
+        sem.at[b],
+    )
+
+
+def _candidates(start_ref, cnt_ref, buf, t, *, bands, seg_cap, tile,
+                tiles_x):
+    """Validity, exact-coverage mask and packed depth keys for one tile's
+    loaded candidate buffer (1, CAPT)."""
+    capt = bands * seg_cap
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, capt), 1)
+    lane_in_band = lane % seg_cap
+    band = lane // seg_cap
+    valid = jnp.zeros((1, capt), jnp.bool_)
+    for b in range(bands):
+        start = start_ref[t, b]
+        lead = start - (start // CHUNK) * CHUNK
+        vb = (lane_in_band >= lead) & (lane_in_band < lead + cnt_ref[t, b])
+        valid = valid | ((band == b) & vb)
+
+    u = buf[0:1, :]
+    v = buf[1:2, :]
+    r = buf[10:11, :]
+    tx0 = ((t % tiles_x) * tile).astype(jnp.float32)
+    ty0 = ((t // tiles_x) * tile).astype(jnp.float32)
+    cover = (
+        valid & (r > 0.0)
+        & (u + r > tx0) & (u - r < tx0 + tile)
+        & (v + r > ty0) & (v - r < ty0 + tile)
+    )
+    depth = buf[9:10, :]
+    dbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth, 1e-6), jnp.int32
+    )
+    # Pack the lane index into the low bits for a strict total order
+    # (capt <= 4096 -> 12 bits; drops ~2^-11 relative depth resolution,
+    # ties broken deterministically by lane).
+    key = jnp.where(cover, (dbits & ~4095) | lane, INT_MAX - capt + lane)
+    return cover, key
+
+
+def _rank_pass(key, capt):
+    """rank_j = #(key_i < key_j): chunked all-pairs broadcast compares."""
+    rank = jnp.zeros((1, capt), jnp.int32)
+    for ci in range(capt // CHUNK):
+        kc = key[:, ci * CHUNK:(ci + 1) * CHUNK]
+        lt = (jnp.transpose(kc) < key).astype(jnp.int32)  # (CHUNK, capt)
+        rank = rank + jnp.sum(lt, axis=0, keepdims=True)
+    return rank
+
+
+def _onehot(rank, base, capt):
+    """M[i, j] = 1 iff rank_j == base + i  -> (CHUNK, capt) f32."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
+    return (rank == sel).astype(jnp.float32)
+
+
+def _fwd_kernel(start_ref, cnt_ref, attrs_hbm, out_ref, buf, sem,
+                *, tile: int, tiles_x: int, group: int, num_tiles: int,
+                bands: int, seg_cap: int):
+    px = tile * tile
+    capt = bands * seg_cap
+    base_t = pl.program_id(0) * group
+    lu, lv = _pixel_coords(tile)
+    tri = _tri_excl_T(CHUNK)
+
+    def start_tile_dmas(slot, t):
+        tc = jnp.minimum(t, num_tiles - 1)
+        for b in range(bands):
+            start = start_ref[tc, b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
+                      seg_cap).start()
+
+    def wait_tile_dmas(slot, t):
+        tc = jnp.minimum(t, num_tiles - 1)
+        for b in range(bands):
+            start = start_ref[tc, b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
+                      seg_cap).wait()
+
+    start_tile_dmas(0, base_t)
+
+    def tile_body(g, _):
+        t = base_t + g
+        tc = jnp.minimum(t, num_tiles - 1)
+        slot = g % 2
+        wait_tile_dmas(slot, t)
+        # Prefetch the next tile's bands during this tile's compute.
+        @pl.when(g + 1 < group)
+        def _():
+            start_tile_dmas((g + 1) % 2, t + 1)
+
+        bufs = buf[slot]
+        cover, key = _candidates(start_ref, cnt_ref, bufs, tc, bands=bands,
+                                 seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
+        is_live = t < num_tiles
+        n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
+        rank = _rank_pass(key, capt)
+
+        pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
+        pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
+        num_chunks = (n_surv + CHUNK - 1) // CHUNK
+
+        def cond(carry):
+            ci, log_t, acc = carry
+            return (ci < num_chunks) & (jnp.max(log_t) > LOG_T_MIN)
+
+        def body(carry):
+            ci, log_t, acc = carry
+            M = _onehot(rank, ci * CHUNK, capt)
+            e_t = jax.lax.dot_general(
+                bufs[:, :], M, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (NCH, CHUNK)
+            alpha, _, _, _ = _chunk_alpha(e_t, pu, pv, n_surv - ci * CHUNK,
+                                          CHUNK)
+            log1m = jnp.log1p(-alpha)                      # (PX, CHUNK)
+            excl = jax.lax.dot_general(
+                log1m, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            w = alpha * jnp.exp(excl + log_t)
+            contrib = jax.lax.dot_general(
+                e_t, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (NCH, PX)
+            log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+            return ci + 1, log_t, acc + contrib
+
+        log_t0 = jnp.zeros((px, 1), jnp.float32)
+        acc0 = jnp.zeros((NCH, px), jnp.float32)
+        eff, log_t, acc = jax.lax.while_loop(cond, body, (0, log_t0, acc0))
+
+        log_t_row = jnp.transpose(log_t)
+        result = jnp.concatenate(
+            [
+                acc[6:10, :],                              # r g b depth
+                1.0 - jnp.exp(log_t_row),                  # alpha
+                log_t_row,
+                jnp.full((1, px), eff.astype(jnp.float32)),
+                jnp.full((1, px), n_surv.astype(jnp.float32)),
+                jnp.zeros((NCH - 8, px), jnp.float32),
+            ],
+            axis=0,
+        )
+        out_ref[pl.ds(g, 1)] = result[None]
+        return 0
+
+    jax.lax.fori_loop(0, group, tile_body, 0)
+
+
+def _bwd_kernel(start_ref, cnt_ref, attrs_hbm, fwd_out_ref, dout_ref,
+                zeros_in_ref, grad_hbm, buf, gbuf, gtmp, sem, gsem,
+                *, tile: int, tiles_x: int, group: int, num_tiles: int,
+                bands: int, seg_cap: int):
+    px = tile * tile
+    capt = bands * seg_cap
+    base_t = pl.program_id(0) * group
+    lu, lv = _pixel_coords(tile)
+    tri = _tri_excl_T(CHUNK)
+    tri_s = _tri_suffix_T(CHUNK)
+
+    def tile_body(g, _):
+        t = base_t + g
+        tc = jnp.minimum(t, num_tiles - 1)
+        # Load this tile's bands (synchronous per tile: the rmw of the grad
+        # segments below orders tiles anyway).
+        for b in range(bands):
+            start = start_ref[tc, b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf, sem, al, b, seg_cap).start()
+        for b in range(bands):
+            start = start_ref[tc, b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf, sem, al, b, seg_cap).wait()
+
+        cover, key = _candidates(start_ref, cnt_ref, buf, tc, bands=bands,
+                                 seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
+        is_live = t < num_tiles
+        n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
+        rank = _rank_pass(key, capt)
+
+        pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
+        pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
+
+        dout = dout_ref[g]                                 # (NCH, PX)
+        dout_px = jnp.transpose(dout[0:4, :])              # (PX, 4)
+        d_alpha_map = jnp.transpose(dout[4:5, :])          # (PX, 1)
+        log_t_final = jnp.transpose(fwd_out_ref[g][5:6, :])
+        eff = fwd_out_ref[g][6, 0].astype(jnp.int32)
+
+        gbuf[:, :] = jnp.zeros((NCH, capt), jnp.float32)
+
+        def body(carry):
+            ci, log_t_end, bvec = carry
+            M = _onehot(rank, ci * CHUNK, capt)
+            e_t = jax.lax.dot_general(
+                buf[:, :], M, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv, n_surv - ci * CHUNK,
+                                             CHUNK)
+            log1m = jnp.log1p(-alpha)
+            excl = jax.lax.dot_general(
+                log1m, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            log_t_in = log_t_end - jnp.sum(log1m, axis=1, keepdims=True)
+            T_i = jnp.exp(excl + log_t_in)
+            w = alpha * T_i
+
+            q = jax.lax.dot_general(
+                dout_px, e_t[6:10, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + d_alpha_map                                # (PX, CHUNK)
+
+            wq = w * q
+            suffix = jax.lax.dot_general(
+                wq, tri_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            one_m = jnp.maximum(1.0 - alpha, 1e-6)
+            d_alpha = T_i * q - (bvec + suffix) / one_m
+            d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+
+            dfeat = jax.lax.dot_general(
+                dout[0:4, :], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (4, CHUNK)
+            dop = jnp.sum(d_alpha * g_, axis=0, keepdims=True)
+            dpower = d_alpha * alpha
+            d_du = dpower * (-(e_t[2:3, :] * du + e_t[3:4, :] * dv))
+            d_dv = dpower * (-(e_t[4:5, :] * dv + e_t[3:4, :] * du))
+            dmu = -jnp.sum(d_du, axis=0, keepdims=True)
+            dmv = -jnp.sum(d_dv, axis=0, keepdims=True)
+            da = jnp.sum(-0.5 * du * du * dpower, axis=0, keepdims=True)
+            db_ = jnp.sum(-du * dv * dpower, axis=0, keepdims=True)
+            dc = jnp.sum(-0.5 * dv * dv * dpower, axis=0, keepdims=True)
+
+            dG = jnp.concatenate(
+                [dmu, dmv, da, db_, dc, dop, dfeat,
+                 jnp.zeros((NCH - 10, CHUNK), jnp.float32)],
+                axis=0,
+            )                                              # (NCH, CHUNK)
+            # Un-permute back to buffer lanes: gbuf += dG @ M.
+            gbuf[:, :] = gbuf[:, :] + jax.lax.dot_general(
+                dG, M, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bvec_new = bvec + jnp.sum(wq, axis=1, keepdims=True)
+            return ci - 1, log_t_in, bvec_new
+
+        jax.lax.while_loop(
+            lambda c: c[0] >= 0, body,
+            (eff - 1, log_t_final, jnp.zeros((px, 1), jnp.float32)),
+        )
+
+        # Read-modify-write the bands into the global grad array. Grid
+        # steps run sequentially on this single-TensorCore chip, and the
+        # waits below order tiles within a program, so overlapping
+        # segments of neighboring tiles accumulate correctly.
+        @pl.when(is_live)
+        def _():
+            for b in range(bands):
+                start = start_ref[tc, b]
+                al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+                rd = pltpu.make_async_copy(
+                    grad_hbm.at[:, pl.ds(al, seg_cap)], gtmp, gsem
+                )
+                rd.start()
+                rd.wait()
+                gtmp[:, :] = gtmp[:, :] + gbuf[:, b * seg_cap:(b + 1) * seg_cap]
+                wr = pltpu.make_async_copy(
+                    gtmp, grad_hbm.at[:, pl.ds(al, seg_cap)], gsem
+                )
+                wr.start()
+                wr.wait()
+        return 0
+
+    jax.lax.fori_loop(0, group, tile_body, 0)
+
+
+def _make_fwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
+    px = tile * tile
+    t_pad = -(-num_tiles // group)
+    capt = bands * seg_cap
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # seg_start, seg_cnt
+        grid=(t_pad,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (group, NCH, px), lambda t, *_: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NCH, capt), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, bands)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tile=tile, tiles_x=tiles_x,
+                          group=group, num_tiles=num_tiles, bands=bands,
+                          seg_cap=seg_cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def _make_bwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
+    px = tile * tile
+    t_pad = -(-num_tiles // group)
+    capt = bands * seg_cap
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_pad,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # attrs
+            pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),          # fwd out
+            pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),          # dout
+            pl.BlockSpec(memory_space=pl.ANY),             # zeroed grads in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),       # grads out
+        scratch_shapes=[
+            pltpu.VMEM((NCH, capt), jnp.float32),          # buf
+            pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
+            pltpu.VMEM((NCH, seg_cap), jnp.float32),       # gtmp
+            pltpu.SemaphoreType.DMA((bands,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tile=tile, tiles_x=tiles_x,
+                          group=group, num_tiles=num_tiles, bands=bands,
+                          seg_cap=seg_cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NCH, n_pad), jnp.float32),
+        # Flat input index 5 = the zeroed grad buffer (after the two
+        # scalar-prefetch args, attrs, fwd_out, dout); aliased in-place.
+        input_output_aliases={5: 0},
+        interpret=_interpret(),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def composite_sorted(attrs_sorted, seg_start, seg_cnt, num_tiles: int,
+                     tile: int, tiles_x: int, group: int, bands: int,
+                     seg_cap: int):
+    """attrs_sorted (NCH, Npad) center-tile-sorted; returns
+    (ceil(T/group)*group, NCH, PX) tile images (channels: see module doc)."""
+    return _make_fwd(num_tiles, attrs_sorted.shape[1], tile, tiles_x, group,
+                     bands, seg_cap)(seg_start, seg_cnt, attrs_sorted)
+
+
+def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, num_tiles, tile,
+                          tiles_x, group, bands, seg_cap):
+    out = _make_fwd(num_tiles, attrs_sorted.shape[1], tile, tiles_x, group,
+                    bands, seg_cap)(seg_start, seg_cnt, attrs_sorted)
+    return out, (attrs_sorted, seg_start, seg_cnt, out)
+
+
+def _composite_sorted_bwd(num_tiles, tile, tiles_x, group, bands, seg_cap,
+                          res, dout):
+    attrs_sorted, seg_start, seg_cnt, out = res
+    n_pad = attrs_sorted.shape[1]
+    zeros = jnp.zeros((NCH, n_pad), jnp.float32)
+    grads = _make_bwd(num_tiles, n_pad, tile, tiles_x, group, bands,
+                      seg_cap)(seg_start, seg_cnt, attrs_sorted, out, dout,
+                               zeros)
+    return (grads, None, None)
+
+
+composite_sorted.defvjp(_composite_sorted_fwd, _composite_sorted_bwd)

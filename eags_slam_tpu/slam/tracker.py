@@ -29,7 +29,8 @@ from ..core.gaussians import GaussianParams
 from ..core.se3 import quat_to_rotmat, rotmat_to_quat
 from ..core.sh import sh_to_rgb
 from ..ops.rasterizer import (FrozenBinning, RasterConfig, freeze_binning,
-                              render, render_frozen)
+                              freeze_sorted, render, render_frozen,
+                              render_frozen_sorted)
 from ..utils import optim
 
 
@@ -177,11 +178,24 @@ def refine_pose(
     """
     colors = sh_to_rgb(params.f_dc)
 
-    use_frozen = tcfg.frozen_binning and (
-        rcfg.backend == "pallas"
-        or (rcfg.backend == "auto" and jax.default_backend() == "tpu")
-    )
-    if use_frozen:
+    backend = rcfg.backend
+    if backend == "auto":
+        backend = "sorted" if jax.default_backend() == "tpu" else "jnp"
+    if tcfg.frozen_binning and backend == "sorted":
+        # v2 fast path: freeze the center-sorted segment table once; the
+        # kernel re-ranks depths per iteration (exact ordering under pose
+        # motion; see ops.rasterizer.FrozenSorted).
+        fs = freeze_sorted(params.xyz, params.quats, params.log_scales,
+                           params.opacity_logits, colors,
+                           last_w2c @ init_rel, cam, rcfg, alive=alive)
+
+        def loss_fn(pose: PoseParams):
+            out = render_frozen_sorted(fs, last_w2c @ _rel_matrix(pose),
+                                       cam, rcfg)
+            cl, dl = _losses_from_output(out, pose, gt_color, gt_depth, tcfg)
+            return (tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl,
+                    (cl, dl))
+    elif tcfg.frozen_binning and backend == "pallas":
         fb = freeze_binning(params.xyz, params.quats, params.log_scales,
                             params.opacity_logits, colors,
                             last_w2c @ init_rel, cam, rcfg, alive=alive)
