@@ -531,19 +531,14 @@ def _pad_sorted(attrs_sorted: jnp.ndarray, cfg: RasterConfig) -> jnp.ndarray:
     return jnp.pad(attrs_sorted, ((0, 0), (0, n128 + cfg.seg_cap - n)))
 
 
-def _composite_v2(
-    proj: _Projected, colors: jnp.ndarray, cam: Camera, cfg: RasterConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sorted-backend compositing: one N-column gather (custom scatter-add
-    VJP) replaces the v1 entry expansion/scatter/gather."""
+def _sorted_attrs(proj: _Projected, colors: jnp.ndarray, cam: Camera,
+                  cfg: RasterConfig):
+    """Sorted attr array + segment table for the sorted backend: one
+    N-column gather (custom scatter-add VJP) replaces the v1 entry
+    expansion/scatter/gather."""
     from .rasterizer_pallas import NCH
-    from .rasterizer_pallas_v2 import composite_sorted
 
     n = proj.mean2d.shape[0]
-    tiles_x = -(-cam.width // cfg.tile)
-    tiles_y = -(-cam.height // cfg.tile)
-    num_tiles = tiles_x * tiles_y
-
     order, seg_start, seg_cnt = _center_sort(proj, cam, cfg)
     zeros_n = jnp.zeros((n,), jnp.float32)
     attrs = jnp.stack(
@@ -557,8 +552,20 @@ def _composite_v2(
         ] + [zeros_n] * (NCH - 11),
         axis=0,
     )
-    attrs_sorted = _pad_sorted(_gather_entries(attrs, order), cfg)
-    out = composite_sorted(attrs_sorted, seg_start, seg_cnt, num_tiles,
+    return _pad_sorted(_gather_entries(attrs, order), cfg), seg_start, seg_cnt
+
+
+def _composite_v2(
+    proj: _Projected, colors: jnp.ndarray, cam: Camera, cfg: RasterConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    attrs_sorted, seg_start, seg_cnt = _sorted_attrs(proj, colors, cam, cfg)
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
                            cfg.seg_cap)
     return _assemble_image(out, cam, cfg)
@@ -849,8 +856,9 @@ def render_frozen_sorted(
     )
     tiles_x = -(-cam.width // cfg.tile)
     tiles_y = -(-cam.height // cfg.tile)
-    out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt,
-                           tiles_x * tiles_y, cfg.tile, tiles_x, cfg.group,
+    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt, tile_ids,
+                           cfg.tile, tiles_x, cfg.group,
                            cfg.bands, cfg.seg_cap)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
@@ -858,3 +866,65 @@ def render_frozen_sorted(
     alpha = alpha[: cam.height, : cam.width]
     radii = jnp.zeros((1,), jnp.int32)  # not tracked on the frozen path
     return RenderOutput(color, depth, alpha, radii)
+
+
+# ---------------------------------------------------------------------------
+# Tile-subset rendering (stochastic mapping, PERF.md roadmap #1)
+# ---------------------------------------------------------------------------
+
+
+class TileRender(NamedTuple):
+    color: jnp.ndarray   # (S, ts, ts, 3)
+    depth: jnp.ndarray   # (S, ts, ts)
+    alpha: jnp.ndarray   # (S, ts, ts)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def render_tiles(
+    means3d, quats, log_scales, opacity_logits, colors, w2c,
+    tile_ids: jnp.ndarray, cam: Camera, cfg: RasterConfig, alive=None,
+) -> TileRender:
+    """Render only the tiles in `tile_ids` (S,) — sorted backend only.
+
+    Cost scales with S: the grid shrinks proportionally and only selected
+    tiles' candidates are composited. Binning (center sort + one N-gather)
+    is per-call. Used for tile-subset stochastic mapping: optimizing a
+    random tile subset per iteration cuts kernel work ~T/S-fold while
+    keeping the gradient an unbiased estimate of the full-image one.
+    """
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    proj = project_gaussians(means3d, quats, log_scales, opacity_logits,
+                             w2c, cam, cfg, alive,
+                             radius_cap=_v2_radius_cap(cfg))
+    tiles_x = -(-cam.width // cfg.tile)
+    attrs_sorted, seg_start, seg_cnt = _sorted_attrs(proj, colors, cam, cfg)
+    out = composite_sorted(attrs_sorted, seg_start, seg_cnt,
+                           tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
+                           cfg.group, cfg.bands, cfg.seg_cap)
+    s = tile_ids.shape[0]
+    ts = cfg.tile
+    img = out[:s, :5].reshape(s, 5, ts, ts)
+    return TileRender(
+        color=jnp.transpose(img[:, 0:3], (0, 2, 3, 1)),
+        depth=img[:, 3],
+        alpha=img[:, 4],
+    )
+
+
+def gt_tiles(image: jnp.ndarray, tile_ids: jnp.ndarray, ts: int,
+             tiles_x: int, tiles_y: int):
+    """Gather ground-truth tiles matching `render_tiles` output.
+
+    image (H, W[, C]) is zero-padded to the tile grid; returns
+    (S, ts, ts[, C]). One row-gather of S indices (cheap on TPU).
+    """
+    chan = image.shape[2:] 
+    hp, wp = tiles_y * ts, tiles_x * ts
+    pad = [(0, hp - image.shape[0]), (0, wp - image.shape[1])] + [
+        (0, 0)
+    ] * len(chan)
+    img = jnp.pad(image, pad)
+    img = img.reshape((tiles_y, ts, tiles_x, ts) + chan)
+    img = jnp.moveaxis(img, 2, 1).reshape((tiles_y * tiles_x, ts, ts) + chan)
+    return img[tile_ids]

@@ -112,8 +112,8 @@ def _onehot(rank, base, capt):
     return (rank == sel).astype(jnp.float32)
 
 
-def _fwd_kernel(start_ref, cnt_ref, attrs_hbm, out_ref, buf, sem,
-                *, tile: int, tiles_x: int, group: int, num_tiles: int,
+def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf, sem,
+                *, tile: int, tiles_x: int, group: int, n_sel: int,
                 bands: int, seg_cap: int):
     px = tile * tile
     capt = bands * seg_cap
@@ -121,16 +121,19 @@ def _fwd_kernel(start_ref, cnt_ref, attrs_hbm, out_ref, buf, sem,
     lu, lv = _pixel_coords(tile)
     tri = _tri_excl_T(CHUNK)
 
-    def start_tile_dmas(slot, t):
-        tc = jnp.minimum(t, num_tiles - 1)
+    def tile_of(s):
+        return ids_ref[jnp.minimum(s, n_sel - 1)]
+
+    def start_tile_dmas(slot, s):
+        tc = tile_of(s)
         for b in range(bands):
             start = start_ref[tc, b]
             al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
             _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
                       seg_cap).start()
 
-    def wait_tile_dmas(slot, t):
-        tc = jnp.minimum(t, num_tiles - 1)
+    def wait_tile_dmas(slot, s):
+        tc = tile_of(s)
         for b in range(bands):
             start = start_ref[tc, b]
             al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
@@ -140,19 +143,19 @@ def _fwd_kernel(start_ref, cnt_ref, attrs_hbm, out_ref, buf, sem,
     start_tile_dmas(0, base_t)
 
     def tile_body(g, _):
-        t = base_t + g
-        tc = jnp.minimum(t, num_tiles - 1)
+        s = base_t + g
+        tc = tile_of(s)
         slot = g % 2
-        wait_tile_dmas(slot, t)
+        wait_tile_dmas(slot, s)
         # Prefetch the next tile's bands during this tile's compute.
         @pl.when(g + 1 < group)
         def _():
-            start_tile_dmas((g + 1) % 2, t + 1)
+            start_tile_dmas((g + 1) % 2, s + 1)
 
         bufs = buf[slot]
         cover, key = _candidates(start_ref, cnt_ref, bufs, tc, bands=bands,
                                  seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
-        is_live = t < num_tiles
+        is_live = s < n_sel
         n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
         rank = _rank_pass(key, capt)
 
@@ -208,9 +211,9 @@ def _fwd_kernel(start_ref, cnt_ref, attrs_hbm, out_ref, buf, sem,
     jax.lax.fori_loop(0, group, tile_body, 0)
 
 
-def _bwd_kernel(start_ref, cnt_ref, attrs_hbm, fwd_out_ref, dout_ref,
-                zeros_in_ref, grad_hbm, buf, gbuf, gtmp, sem, gsem,
-                *, tile: int, tiles_x: int, group: int, num_tiles: int,
+def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
+                dout_ref, zeros_in_ref, grad_hbm, buf, gbuf, gtmp, sem, gsem,
+                *, tile: int, tiles_x: int, group: int, n_sel: int,
                 bands: int, seg_cap: int):
     px = tile * tile
     capt = bands * seg_cap
@@ -220,8 +223,8 @@ def _bwd_kernel(start_ref, cnt_ref, attrs_hbm, fwd_out_ref, dout_ref,
     tri_s = _tri_suffix_T(CHUNK)
 
     def tile_body(g, _):
-        t = base_t + g
-        tc = jnp.minimum(t, num_tiles - 1)
+        s_idx = base_t + g
+        tc = ids_ref[jnp.minimum(s_idx, n_sel - 1)]
         # Load this tile's bands (synchronous per tile: the rmw of the grad
         # segments below orders tiles anyway).
         for b in range(bands):
@@ -235,7 +238,7 @@ def _bwd_kernel(start_ref, cnt_ref, attrs_hbm, fwd_out_ref, dout_ref,
 
         cover, key = _candidates(start_ref, cnt_ref, buf, tc, bands=bands,
                                  seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
-        is_live = t < num_tiles
+        is_live = s_idx < n_sel
         n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
         rank = _rank_pass(key, capt)
 
@@ -339,12 +342,12 @@ def _bwd_kernel(start_ref, cnt_ref, attrs_hbm, fwd_out_ref, dout_ref,
     jax.lax.fori_loop(0, group, tile_body, 0)
 
 
-def _make_fwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
+def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     px = tile * tile
-    t_pad = -(-num_tiles // group)
+    t_pad = -(-n_sel // group)
     capt = bands * seg_cap
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # seg_start, seg_cnt
+        num_scalar_prefetch=3,  # seg_start, seg_cnt, tile_ids
         grid=(t_pad,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -358,7 +361,7 @@ def _make_fwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, tile=tile, tiles_x=tiles_x,
-                          group=group, num_tiles=num_tiles, bands=bands,
+                          group=group, n_sel=n_sel, bands=bands,
                           seg_cap=seg_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
@@ -366,12 +369,12 @@ def _make_fwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
     )
 
 
-def _make_bwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
+def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     px = tile * tile
-    t_pad = -(-num_tiles // group)
+    t_pad = -(-n_sel // group)
     capt = bands * seg_cap
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # attrs
@@ -392,43 +395,45 @@ def _make_bwd(num_tiles, n_pad, tile, tiles_x, group, bands, seg_cap):
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tile=tile, tiles_x=tiles_x,
-                          group=group, num_tiles=num_tiles, bands=bands,
+                          group=group, n_sel=n_sel, bands=bands,
                           seg_cap=seg_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCH, n_pad), jnp.float32),
-        # Flat input index 5 = the zeroed grad buffer (after the two
+        # Flat input index 6 = the zeroed grad buffer (after the three
         # scalar-prefetch args, attrs, fwd_out, dout); aliased in-place.
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         interpret=_interpret(),
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def composite_sorted(attrs_sorted, seg_start, seg_cnt, num_tiles: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                      tile: int, tiles_x: int, group: int, bands: int,
                      seg_cap: int):
-    """attrs_sorted (NCH, Npad) center-tile-sorted; returns
-    (ceil(T/group)*group, NCH, PX) tile images (channels: see module doc)."""
-    return _make_fwd(num_tiles, attrs_sorted.shape[1], tile, tiles_x, group,
-                     bands, seg_cap)(seg_start, seg_cnt, attrs_sorted)
+    """attrs_sorted (NCH, Npad) center-tile-sorted; tile_ids (S,) selects
+    which tiles to render (arange(T) for a full image). Returns
+    (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
+    return _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile, tiles_x,
+                     group, bands, seg_cap)(seg_start, seg_cnt, tile_ids,
+                                            attrs_sorted)
 
 
-def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, num_tiles, tile,
+def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
                           tiles_x, group, bands, seg_cap):
-    out = _make_fwd(num_tiles, attrs_sorted.shape[1], tile, tiles_x, group,
-                    bands, seg_cap)(seg_start, seg_cnt, attrs_sorted)
-    return out, (attrs_sorted, seg_start, seg_cnt, out)
+    out = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile, tiles_x,
+                    group, bands, seg_cap)(seg_start, seg_cnt, tile_ids,
+                                           attrs_sorted)
+    return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out)
 
 
-def _composite_sorted_bwd(num_tiles, tile, tiles_x, group, bands, seg_cap,
-                          res, dout):
-    attrs_sorted, seg_start, seg_cnt, out = res
+def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, res, dout):
+    attrs_sorted, seg_start, seg_cnt, tile_ids, out = res
     n_pad = attrs_sorted.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
-    grads = _make_bwd(num_tiles, n_pad, tile, tiles_x, group, bands,
-                      seg_cap)(seg_start, seg_cnt, attrs_sorted, out, dout,
-                               zeros)
-    return (grads, None, None)
+    grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
+                      seg_cap)(seg_start, seg_cnt, tile_ids, attrs_sorted,
+                               out, dout, zeros)
+    return (grads, None, None, None)
 
 
 composite_sorted.defvjp(_composite_sorted_fwd, _composite_sorted_bwd)

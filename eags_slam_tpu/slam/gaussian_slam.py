@@ -95,6 +95,7 @@ class GaussianSLAM:
             edge_dilate=int(mc.get("edge_dilate_kernel", 2)),
             outlier_removal=bool(mc.get("outlier_removal", False)),
             max_keyframes=int(mc.get("max_keyframes", 32)),
+            tile_subset=int(mc.get("tile_subset", 0)),
         )
         self.tcfg = TrackerConfig(
             iterations=int(tc["iterations"]),

@@ -37,7 +37,8 @@ from ..core.sh import sh_to_rgb
 from ..ops import knn
 from ..ops.image import dilate, gradient_sample_probs
 from ..ops.losses import isotropic_loss, l1_loss, masked_l1, ssim
-from ..ops.rasterizer import RasterConfig, render
+from ..ops.rasterizer import (RasterConfig, gt_tiles, render,
+                              render_tiles)
 from ..utils import optim
 
 
@@ -56,6 +57,11 @@ class MapperConfig(NamedTuple):
     lambda_dssim: float = 0.2
     outlier_removal: bool = False       # TUM/ScanNet statistical filter
     max_keyframes: int = 32
+    # Tile-subset stochastic mapping (PERF.md roadmap): optimize a random
+    # subset of tiles per iteration; 0 disables (full image). Only active on
+    # the sorted backend; the gradient is an unbiased estimate of the
+    # full-image one (tiles sampled uniformly without replacement).
+    tile_subset: int = 0
     # 3DGS LRs (reference arguments.py:53-72; xyz schedule barely moves over
     # <=1k submap iters so the initial value is used).
     lr_xyz: float = 1e-4
@@ -287,34 +293,82 @@ def optimize_submap(
         quats=mcfg.lr_rotation, opacity_logits=mcfg.lr_opacity,
     )
 
-    def loss_fn(opt: OptimizedParams, alive, kidx):
-        params = _merge(frozen, opt)
-        gt_color = kfs.color[kidx]
-        gt_depth = kfs.depth[kidx]
-        w2c = kfs.w2c[kidx]
-        exp_a, exp_b = kfs.exposure[kidx, 0], kfs.exposure[kidx, 1]
-        out = render(params.xyz, params.quats, params.log_scales,
-                     params.opacity_logits, sh_to_rgb(params.f_dc),
-                     w2c, cam, rcfg, alive=alive)
-        image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
-        mask = (gt_depth > 0) & ~jnp.isnan(out.depth)
-        m3 = mask[..., None].astype(image.dtype)
-        color_l1 = masked_l1(image, gt_color, jnp.tile(m3, (1, 1, 3)))
-        color_loss = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
-            1.0 - ssim(image, gt_color)
-        )
-        depth_loss = masked_l1(out.depth, gt_depth, mask.astype(image.dtype))
-        reg = isotropic_loss(params.log_scales, alive)
-        total = color_loss + depth_loss + reg
-        return total, (color_loss, depth_loss)
+    import jax as _jax
+
+    backend = rcfg.backend
+    if backend == "auto":
+        backend = "sorted" if _jax.default_backend() == "tpu" else "jnp"
+    use_subset = mcfg.tile_subset > 0 and backend == "sorted"
+    tiles_x = -(-cam.width // rcfg.tile)
+    tiles_y = -(-cam.height // rcfg.tile)
+    num_tiles = tiles_x * tiles_y
+    n_sub = min(mcfg.tile_subset, num_tiles)
+
+    if use_subset:
+        def loss_fn(opt: OptimizedParams, alive, kidx, tile_ids):
+            params = _merge(frozen, opt)
+            gt_c = gt_tiles(kfs.color[kidx], tile_ids, rcfg.tile, tiles_x,
+                            tiles_y)
+            gt_d = gt_tiles(kfs.depth[kidx], tile_ids, rcfg.tile, tiles_x,
+                            tiles_y)
+            exp_a, exp_b = kfs.exposure[kidx, 0], kfs.exposure[kidx, 1]
+            out = render_tiles(params.xyz, params.quats, params.log_scales,
+                               params.opacity_logits, sh_to_rgb(params.f_dc),
+                               kfs.w2c[kidx], tile_ids, cam, rcfg,
+                               alive=alive)
+            image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
+            mask = (gt_d > 0) & ~jnp.isnan(out.depth)
+            m3 = mask[..., None].astype(image.dtype)
+            color_l1 = masked_l1(image, gt_c, jnp.tile(m3, (1, 1, 1, 3)))
+            # SSIM per tile (windowed within each tile; border bias is the
+            # same every iteration so the stochastic objective stays
+            # aligned with the full-image one).
+            ssim_t = jnp.mean(jax.vmap(ssim)(image, gt_c))
+            color_loss = (
+                (1.0 - mcfg.lambda_dssim) * color_l1
+                + mcfg.lambda_dssim * (1.0 - ssim_t)
+            )
+            depth_loss = masked_l1(out.depth, gt_d, mask.astype(image.dtype))
+            reg = isotropic_loss(params.log_scales, alive)
+            total = color_loss + depth_loss + reg
+            return total, (color_loss, depth_loss)
+    else:
+        def loss_fn(opt: OptimizedParams, alive, kidx, tile_ids):
+            del tile_ids
+            params = _merge(frozen, opt)
+            gt_color = kfs.color[kidx]
+            gt_depth = kfs.depth[kidx]
+            w2c = kfs.w2c[kidx]
+            exp_a, exp_b = kfs.exposure[kidx, 0], kfs.exposure[kidx, 1]
+            out = render(params.xyz, params.quats, params.log_scales,
+                         params.opacity_logits, sh_to_rgb(params.f_dc),
+                         w2c, cam, rcfg, alive=alive)
+            image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
+            mask = (gt_depth > 0) & ~jnp.isnan(out.depth)
+            m3 = mask[..., None].astype(image.dtype)
+            color_l1 = masked_l1(image, gt_color, jnp.tile(m3, (1, 1, 3)))
+            color_loss = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
+                1.0 - ssim(image, gt_color)
+            )
+            depth_loss = masked_l1(out.depth, gt_depth, mask.astype(image.dtype))
+            reg = isotropic_loss(params.log_scales, alive)
+            total = color_loss + depth_loss + reg
+            return total, (color_loss, depth_loss)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    # Under tile-subset SGD the per-iteration loss is a noisy estimate:
+    # checkpoint/rollback/early-stop decisions compare an EMA instead of the
+    # raw draw (otherwise a lucky low draw becomes an unbeatable best_loss
+    # and the noise trips the 15% early-stop band constantly).
+    ema_beta = 0.8 if use_subset else 0.0
 
     class Carry(NamedTuple):
         opt: OptimizedParams
         adam: optim.AdamState
         alive: jnp.ndarray
         best_loss: jnp.ndarray
+        ema: jnp.ndarray
         ckpt_opt: OptimizedParams
         ckpt_adam: optim.AdamState
         has_ckpt: jnp.ndarray
@@ -323,11 +377,17 @@ def optimize_submap(
         key: jax.Array
 
     def step(c: Carry, it):
-        key, k_sel = jax.random.split(c.key)
+        key, k_sel, k_tiles = jax.random.split(c.key, 3)
         kidx = jnp.where(
             it < 5, 0, jax.random.categorical(k_sel, jnp.log(p_kf + 1e-12))
         ).astype(jnp.int32)
-        (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx)
+        if use_subset:
+            tile_ids = jax.random.permutation(k_tiles, num_tiles)[:n_sub]
+            tile_ids = tile_ids.astype(jnp.int32)
+        else:
+            tile_ids = None
+        (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx, tile_ids)
+        ema = jnp.where(it == 0, total, ema_beta * c.ema + (1 - ema_beta) * total)
         gmask = c.alive.astype(jnp.float32)
         grads = jax.tree.map(
             lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
@@ -343,18 +403,18 @@ def optimize_submap(
 
         # Checkpoint best state every 5% iters (reference :192-198).
         is_ckpt_iter = (it % ckpt_every == 0) & (it != 0)
-        improved = total < c.best_loss
+        improved = ema < c.best_loss
         take = is_ckpt_iter & improved & do_update
         ckpt_opt = jax.tree.map(lambda n, o: jnp.where(take, n, o), opt, c.ckpt_opt)
         ckpt_adam = jax.tree.map(
             lambda n, o: jnp.where(take, n, o), adam, c.ckpt_adam
         )
-        best_loss = jnp.where(take, total, c.best_loss)
+        best_loss = jnp.where(take, ema, c.best_loss)
         has_ckpt = c.has_ckpt | take
 
         # Prune (+ rollback to checkpoint when the prune-time loss is worse).
         is_prune = (it == prune_iters[0]) | (it == prune_iters[1])
-        rollback = is_prune & has_ckpt & (best_loss < total)
+        rollback = is_prune & has_ckpt & (best_loss < ema)
         opt = jax.tree.map(lambda ck, o: jnp.where(rollback, ck, o), ckpt_opt, opt)
         adam = jax.tree.map(
             lambda ck, a: jnp.where(rollback, ck, a), ckpt_adam, adam
@@ -368,13 +428,13 @@ def optimize_submap(
 
         # Early stop after the last prune (reference :181-190).
         after = it > prune_iters[1]
-        bad = after & has_ckpt & (total - best_loss > 0.15 * best_loss)
+        bad = after & has_ckpt & (ema - best_loss > 0.15 * best_loss)
         early_cnt = jnp.where(bad, c.early_cnt + 1, 0)
         stopped = c.stopped | (early_cnt > early_thre)
 
         return (
-            Carry(opt, adam, alive, best_loss, ckpt_opt, ckpt_adam, has_ckpt,
-                  early_cnt, stopped, key),
+            Carry(opt, adam, alive, best_loss, ema, ckpt_opt, ckpt_adam,
+                  has_ckpt, early_cnt, stopped, key),
             jnp.stack([total, cl, dl]),
         )
 
@@ -387,6 +447,7 @@ def optimize_submap(
         adam=state.adam,
         alive=state.alive,
         best_loss=jnp.array(jnp.inf),
+        ema=jnp.array(jnp.inf),
         ckpt_opt=opt0,
         ckpt_adam=state.adam,
         has_ckpt=jnp.array(False),
@@ -397,7 +458,7 @@ def optimize_submap(
     final, losses = jax.lax.scan(step, init, jnp.arange(iterations))
 
     # Final rollback + prune < 0.01 (reference :216-223).
-    roll = final.has_ckpt & (final.best_loss < losses[-1, 0])
+    roll = final.has_ckpt & (final.best_loss < final.ema)
     opt = jax.tree.map(
         lambda ck, o: jnp.where(roll, ck, o), final.ckpt_opt, final.opt
     )

@@ -82,3 +82,20 @@ def test_sorted_band_overflow_drops_gracefully(rng):
     out = render(*args, CAM, cfg)
     assert np.all(np.isfinite(np.asarray(out.color)))
     assert float(jnp.max(out.alpha)) > 0.3
+
+
+def test_render_tiles_matches_full(rng):
+    from eags_slam_tpu.ops.rasterizer import gt_tiles, render_tiles
+
+    args = make_scene(rng)
+    full = render(*args, CAM, CFG_S)
+    tiles_x = -(-CAM.width // CFG_S.tile)
+    tiles_y = -(-CAM.height // CFG_S.tile)
+    tile_ids = jnp.asarray([0, 2, 5], jnp.int32)
+    sub = render_tiles(*args[:5], args[5], tile_ids, CAM, CFG_S)
+    ref_c = gt_tiles(full.color, tile_ids, CFG_S.tile, tiles_x, tiles_y)
+    ref_d = gt_tiles(full.depth, tile_ids, CFG_S.tile, tiles_x, tiles_y)
+    np.testing.assert_allclose(np.asarray(sub.color), np.asarray(ref_c),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sub.depth), np.asarray(ref_d),
+                               atol=1e-4)
