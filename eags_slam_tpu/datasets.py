@@ -91,8 +91,12 @@ class BaseDataset:
         if self._thread is not None or len(self) == 0:
             return
         # Prefer the native C++ decoder pool (GIL-free JPEG/PNG decode +
-        # readahead ring, native/loader.cpp) when formats allow.
-        if self._native is None and self.color_paths:
+        # readahead ring, native/loader.cpp) when formats allow AND the
+        # subclass has not customized raw loading (ScanNetPP resizes DSLR
+        # frames in _load_raw; the native decoder would return original
+        # resolution and mismatch the scaled intrinsics).
+        native_ok = type(self)._load_raw is BaseDataset._load_raw
+        if native_ok and self._native is None and self.color_paths:
             from .utils.native_loader import try_create
 
             self._native = try_create(
@@ -359,8 +363,6 @@ class Synthetic(BaseDataset):
         colors = []
         for axis in range(3):
             for sign in (-1.0, 1.0):
-                if axis == 1 and sign == -1.0:
-                    pass  # keep floor too
                 p = rng.uniform(-half, half, (n_per_wall, 3)).astype(np.float32)
                 p[:, axis] = sign * half + rng.normal(0, 0.01, n_per_wall)
                 walls.append(p)

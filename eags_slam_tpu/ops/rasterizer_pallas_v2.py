@@ -63,16 +63,20 @@ def _band_dma(attrs_hbm, buf, sem, start_al, b, seg_cap):
 def _candidates(start_ref, cnt_ref, buf, t, *, bands, seg_cap, tile,
                 tiles_x):
     """Validity, exact-coverage mask and packed depth keys for one tile's
-    loaded candidate buffer (1, CAPT)."""
+    loaded candidate buffer (1, CAPT).
+
+    start_ref/cnt_ref are FLAT (T*bands,) int32 — a (T, bands) SMEM array
+    would be lane-padded to (T, 128) and blow the 1 MB SMEM budget
+    (observed: 1.65 MB at tile=16 on a 1200x680 frame)."""
     capt = bands * seg_cap
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, capt), 1)
     lane_in_band = lane % seg_cap
     band = lane // seg_cap
     valid = jnp.zeros((1, capt), jnp.bool_)
     for b in range(bands):
-        start = start_ref[t, b]
+        start = start_ref[t * bands + b]
         lead = start - (start // CHUNK) * CHUNK
-        vb = (lane_in_band >= lead) & (lane_in_band < lead + cnt_ref[t, b])
+        vb = (lane_in_band >= lead) & (lane_in_band < lead + cnt_ref[t * bands + b])
         valid = valid | ((band == b) & vb)
 
     u = buf[0:1, :]
@@ -127,7 +131,7 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf, sem,
     def start_tile_dmas(slot, s):
         tc = tile_of(s)
         for b in range(bands):
-            start = start_ref[tc, b]
+            start = start_ref[tc * bands + b]
             al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
             _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
                       seg_cap).start()
@@ -135,7 +139,7 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf, sem,
     def wait_tile_dmas(slot, s):
         tc = tile_of(s)
         for b in range(bands):
-            start = start_ref[tc, b]
+            start = start_ref[tc * bands + b]
             al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
             _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
                       seg_cap).wait()
@@ -228,11 +232,11 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
         # Load this tile's bands (synchronous per tile: the rmw of the grad
         # segments below orders tiles anyway).
         for b in range(bands):
-            start = start_ref[tc, b]
+            start = start_ref[tc * bands + b]
             al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
             _band_dma(attrs_hbm, buf, sem, al, b, seg_cap).start()
         for b in range(bands):
-            start = start_ref[tc, b]
+            start = start_ref[tc * bands + b]
             al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
             _band_dma(attrs_hbm, buf, sem, al, b, seg_cap).wait()
 
@@ -324,7 +328,7 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
         @pl.when(is_live)
         def _():
             for b in range(bands):
-                start = start_ref[tc, b]
+                start = start_ref[tc * bands + b]
                 al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
                 rd = pltpu.make_async_copy(
                     grad_hbm.at[:, pl.ds(al, seg_cap)], gtmp, gsem
@@ -349,7 +353,10 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # seg_start, seg_cnt, tile_ids
         grid=(t_pad,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # Explicit HBM: pl.ANY lets Mosaic choose SMEM for mid-sized
+        # arrays and then fail its own 1 MB SMEM limit (observed at
+        # Npad~26k; large arrays were placed in HBM anyway).
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (group, NCH, px), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
@@ -377,14 +384,14 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
         num_scalar_prefetch=3,
         grid=(t_pad,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # attrs
+            pl.BlockSpec(memory_space=pltpu.HBM),          # attrs
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # fwd out
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # dout
-            pl.BlockSpec(memory_space=pl.ANY),             # zeroed grads in
+            pl.BlockSpec(memory_space=pltpu.HBM),          # zeroed grads in
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),       # grads out
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),    # grads out
         scratch_shapes=[
             pltpu.VMEM((NCH, capt), jnp.float32),          # buf
             pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
@@ -414,14 +421,16 @@ def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
     which tiles to render (arange(T) for a full image). Returns
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
     return _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile, tiles_x,
-                     group, bands, seg_cap)(seg_start, seg_cnt, tile_ids,
+                     group, bands, seg_cap)(seg_start.reshape(-1),
+                                            seg_cnt.reshape(-1), tile_ids,
                                             attrs_sorted)
 
 
 def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
                           tiles_x, group, bands, seg_cap):
     out = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile, tiles_x,
-                    group, bands, seg_cap)(seg_start, seg_cnt, tile_ids,
+                    group, bands, seg_cap)(seg_start.reshape(-1),
+                                           seg_cnt.reshape(-1), tile_ids,
                                            attrs_sorted)
     return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out)
 
@@ -431,8 +440,8 @@ def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, res, dout):
     n_pad = attrs_sorted.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
     grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
-                      seg_cap)(seg_start, seg_cnt, tile_ids, attrs_sorted,
-                               out, dout, zeros)
+                      seg_cap)(seg_start.reshape(-1), seg_cnt.reshape(-1),
+                               tile_ids, attrs_sorted, out, dout, zeros)
     return (grads, None, None, None)
 
 

@@ -17,6 +17,7 @@
 //
 // Build: make -C native   (links libjpeg + libpng16 + zlib)
 
+#include <csetjmp>
 #include <cstdio>
 #include <cstddef>
 
@@ -52,13 +53,32 @@ bool ends_with(const std::string& s, const char* suf) {
   return true;
 }
 
+// libjpeg's default error_exit() calls exit(), which would kill the whole
+// Python process on one corrupt frame — install a setjmp-based handler
+// (mirrors the libpng path below).
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
 bool decode_jpeg_rgb(const std::string& path, std::vector<uint8_t>& out,
                      int& w, int& h) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -149,12 +169,13 @@ struct Loader {
   std::atomic<int> next_job{0};
   std::atomic<int> consumer_at{0};
   std::atomic<bool> stop{false};
+  std::atomic<int> exp_w{0}, exp_h{0};  // set by loader_dims (frame 0)
   std::vector<std::thread> workers;
 
   Frame decode(int idx) {
     Frame fr;
     const std::string& cp = color_paths[idx];
-    int w2, h2;
+    int w2 = 0, h2 = 0;
     bool ok1 = false;
     if (ends_with(cp, ".jpg") || ends_with(cp, ".jpeg"))
       ok1 = decode_jpeg_rgb(cp, fr.rgb, fr.w, fr.h);
@@ -164,7 +185,12 @@ struct Loader {
     }
     bool ok2 = decode_png(depth_paths[idx], true, depth_scale, fr.rgb,
                           fr.depth, w2, h2);
-    fr.ok = ok1 && ok2;
+    // A frame whose color/depth dims disagree (or differ from frame 0's,
+    // which sized the caller's numpy buffers) must fail loudly instead of
+    // overflowing the output buffers in loader_get.
+    fr.ok = ok1 && ok2 && w2 == fr.w && h2 == fr.h;
+    int ew = exp_w.load(), eh = exp_h.load();
+    if (ew > 0 && (fr.w != ew || fr.h != eh)) fr.ok = false;
     return fr;
   }
 
@@ -212,6 +238,8 @@ int loader_dims(void* h, int* w, int* ht) {
   if (!fr.ok) return -2;
   *w = fr.w;
   *ht = fr.h;
+  L->exp_w.store(fr.w);
+  L->exp_h.store(fr.h);
   return 0;
 }
 
@@ -229,6 +257,7 @@ int loader_get(void* h, int idx, uint8_t* rgb_out, float* depth_out) {
       lk.unlock();
       Frame fr = L->decode(idx);  // evicted: re-decode synchronously
       if (!fr.ok) return -2;
+      if (fr.w != L->exp_w.load() || fr.h != L->exp_h.load()) return -4;
       memcpy(rgb_out, fr.rgb.data(), fr.rgb.size());
       memcpy(depth_out, fr.depth.data(), fr.depth.size() * sizeof(float));
       return 0;
@@ -245,6 +274,7 @@ int loader_get(void* h, int idx, uint8_t* rgb_out, float* depth_out) {
   L->cv.notify_all();
   lk.unlock();
   if (!fr.ok) return -2;
+  if (fr.w != L->exp_w.load() || fr.h != L->exp_h.load()) return -4;
   memcpy(rgb_out, fr.rgb.data(), fr.rgb.size());
   memcpy(depth_out, fr.depth.data(), fr.depth.size() * sizeof(float));
   return 0;

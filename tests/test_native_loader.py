@@ -57,3 +57,48 @@ def test_native_jpeg(frame_files, tmp_path):
         assert np.abs(out.astype(int) - ref.astype(int)).mean() < 2.0
     finally:
         loader.close()
+
+
+def test_native_rejects_dim_mismatch(frame_files, tmp_path):
+    """A frame larger than frame 0 must error, not overflow the caller's
+    numpy buffers (round-1 advisor finding)."""
+    color_paths, depth_paths = frame_files
+    rng = np.random.default_rng(1)
+    big_rgb = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    big_d = rng.integers(100, 60000, (64, 96), dtype=np.uint16)
+    cp = tmp_path / "big.png"
+    dp = tmp_path / "bigd.png"
+    Image.fromarray(big_rgb).save(cp)
+    Image.fromarray(big_d, mode="I;16").save(dp)
+    loader = try_create([color_paths[0], str(cp)],
+                        [depth_paths[0], str(dp)], depth_scale=1.0)
+    if loader is None:
+        pytest.skip("native loader unavailable")
+    try:
+        loader.get(0)  # frame 0 fine
+        with pytest.raises(RuntimeError):
+            loader.get(1)
+    finally:
+        loader.close()
+
+
+def test_native_survives_corrupt_jpeg(frame_files, tmp_path):
+    """A truncated JPEG must raise, not exit() the whole process
+    (libjpeg default error_exit; round-1 advisor finding)."""
+    color_paths, depth_paths = frame_files
+    rgb = np.zeros((32, 48, 3), np.uint8)
+    jp = tmp_path / "ok.jpg"
+    Image.fromarray(rgb).save(jp, quality=95)
+    data = jp.read_bytes()
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(data[: len(data) // 3])  # truncate mid-stream
+    loader = try_create([str(jp), str(bad)],
+                        [depth_paths[0], depth_paths[1]], depth_scale=1.0)
+    if loader is None:
+        pytest.skip("native loader unavailable")
+    try:
+        loader.get(0)
+        with pytest.raises(RuntimeError):
+            loader.get(1)
+    finally:
+        loader.close()
