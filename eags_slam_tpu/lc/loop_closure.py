@@ -32,7 +32,7 @@ from ..core.camera import Camera
 from ..ops.rasterizer import RasterConfig
 from ..slam.submap import Submap
 from .descriptor import GlobalDesc
-from .pgo import PoseGraph, optimize_pose_graph
+from .pgo import PoseGraph, optimize_pose_graph, scalar_info
 from .solver import RegistrationResult, gaussian_registration, icp_registration
 
 
@@ -58,6 +58,12 @@ class LoopClosure:
         self.registration = str(lc.get("registration", "gs_reg"))
         self.pose_opt_iters = int(lc.get("pose_opt_iters", 100))
         self.top_views = int(lc.get("top_views", 2))
+        # Line-process prune threshold (o3d edge_prune_threshold
+        # semantics; reference pgo_edge_prune_thres, lc.py:302-316):
+        # loop edges whose final line-process weight falls below this are
+        # dropped. 0 disables.
+        self.pgo_edge_prune_thres = float(lc.get("pgo_edge_prune_thres", 0.25))
+        self.info_max_corr = float(lc.get("info_max_corr", 0.1))
         self.capacity = int(lc.get("capacity",
                                    config["mapping"].get("max_gaussians", 1 << 18)))
         self.output_path = output_path
@@ -227,16 +233,42 @@ class LoopClosure:
             C = np.linalg.inv(est_rel) @ gt_rel
             return RegistrationResult(True, C, 1.0, 1.0)
         if self.registration in ("icp", "robust_icp"):
-            return icp_registration(
+            res = icp_registration(
                 g_j, g_i, robust=self.registration == "robust_icp"
             )
-        views_i = self._keyframe_views(info_i, anchors[i])
-        views_j = self._keyframe_views(info_j, anchors[j])
-        return gaussian_registration(
-            g_j, g_i, views_j, views_i, info_j.descriptors, info_i.descriptors,
-            self.cam, self.rcfg, self.capacity, self.overlap_thre,
-            self.top_views, self.pose_opt_iters,
-        )
+        else:
+            views_i = self._keyframe_views(info_i, anchors[i])
+            views_j = self._keyframe_views(info_j, anchors[j])
+            res = gaussian_registration(
+                g_j, g_i, views_j, views_i, info_j.descriptors,
+                info_i.descriptors, self.cam, self.rcfg, self.capacity,
+                self.overlap_thre, self.top_views, self.pose_opt_iters,
+            )
+        if res.successful and res.information is None:
+            res = res._replace(
+                information=self._edge_information(g_i, g_j,
+                                                   res.transformation)
+            )
+        return res
+
+    def _edge_information(self, g_i, g_j, C: np.ndarray) -> np.ndarray:
+        """Correspondence-count-normalized 6x6 information for a loop edge
+        (reference o3d get_information_matrix..., lc.py:555-560)."""
+        from .solver import information_matrix
+
+        src = np.asarray(g_i["xyz"], np.float64)
+        tgt = np.asarray(g_j["xyz"], np.float64)
+        rng = np.random.default_rng(0)
+        if src.shape[0] > 4096:
+            src = src[rng.choice(src.shape[0], 4096, replace=False)]
+        if tgt.shape[0] > 4096:
+            tgt = tgt[rng.choice(tgt.shape[0], 4096, replace=False)]
+        src_c = src @ C[:3, :3].T + C[:3, 3]
+        info = information_matrix(src_c.astype(np.float32),
+                                  tgt.astype(np.float32),
+                                  self.info_max_corr)
+        n = max(float(info[0, 0]), 1.0)  # top-left block is n_corr * I3
+        return info / n
 
     def _run(self, submap_id: int, frame_id: int, twc: np.ndarray):
         """Background LC pass (reference run :614-637 + loop_closure
@@ -256,33 +288,45 @@ class LoopClosure:
                 continue
             # Loop edge measurement: Z_j_cur = inv(X_j) @ C @ X_cur.
             Z = np.linalg.inv(anchors[j]) @ res.transformation @ anchors[cur]
-            new_edges.append((j, cur, Z, max(res.fitness, 1e-2)))
+            info6 = res.information if res.information is not None else (
+                np.asarray(scalar_info(max(res.fitness, 1e-2)))
+            )
+            new_edges.append((j, cur, Z, info6))
         self.loop_edges.extend(new_edges)
         if not new_edges:
             return  # no new loop edges -> skip PGO (reference :302,326-328)
 
         self.n_closures += len(new_edges)
         n = len(self.infos)
-        edges_ij, edges_T, edges_info = [], [], []
+        edges_ij, edges_T, edges_info, edges_is_loop = [], [], [], []
         for s in range(1, n):
             edges_ij.append((s - 1, s))
             edges_T.append(
                 np.linalg.inv(anchors[s - 1]) @ anchors[s]
             )
-            edges_info.append(1.0)
-        for (i, j, Z, w) in self.loop_edges:
+            edges_info.append(np.eye(6))
+            edges_is_loop.append(False)
+        for (i, j, Z, info6) in self.loop_edges:
             edges_ij.append((i, j))
             edges_T.append(Z)
-            edges_info.append(w)
+            edges_info.append(np.asarray(info6, np.float64))
+            edges_is_loop.append(True)
 
         graph = PoseGraph(
             poses=jnp.asarray(anchors, dtype=jnp.float32),
             edges_ij=jnp.asarray(np.asarray(edges_ij, np.int32)),
             edges_T=jnp.asarray(np.stack(edges_T), dtype=jnp.float32),
-            edges_info=jnp.asarray(np.asarray(edges_info, np.float32)),
+            edges_info=jnp.asarray(np.stack(edges_info), dtype=jnp.float32),
             edges_valid=jnp.ones((len(edges_ij),), bool),
+            edges_is_loop=jnp.asarray(edges_is_loop),
         )
-        corrected = np.asarray(optimize_pose_graph(graph), np.float64)
+        corrected = np.asarray(
+            optimize_pose_graph(
+                graph,
+                edge_prune_thres=(self.pgo_edge_prune_thres or None),
+            ),
+            np.float64,
+        )
         self._apply_corrections(anchors, corrected, twc)
 
     def _apply_corrections(self, anchors: np.ndarray, corrected: np.ndarray,

@@ -1,21 +1,33 @@
 """Pose-graph optimization on SE(3) (Open3D GlobalOptimization replacement).
 
 Reference: src/entities/lc.py:204-330 — odometry edges between consecutive
-submaps + loop edges from gaussian registration, information matrices, and
-Open3D's LevenbergMarquardt global optimization with
-`pgo_edge_prune_thres`.
+submaps + loop edges from gaussian registration, per-edge 6x6 information
+matrices from point-cloud correspondences (lc.py:555-560), and Open3D's
+LevenbergMarquardt global optimization with `pgo_edge_prune_thres`
+(lc.py:302-316), which down-weights/drops bad loop edges via a line
+process.
 
 TPU-native design: the graph is tiny (#submaps <= ~40 nodes), so the whole
 Gauss-Newton solve is one jitted program: residuals r_ij =
-log(Z_ij^-1 X_i^-1 X_j) for all edges at once (vmap), J via `jax.jacrev`
-over the stacked tangent increments, normal equations solved densely.
-Node 0 is gauged (fixed). Huber weighting on loop edges approximates the
-reference's edge pruning.
+log(Z_ij^-1 X_i^-1 X_j) for all edges at once, whitened by the Cholesky
+factor of each edge's 6x6 information matrix, J via `jax.jacrev` over the
+stacked tangent increments, normal equations solved densely. Node 0 is
+gauged (fixed).
+
+Loop-edge robustness uses the same LINE PROCESS as o3d's
+GlobalOptimization (switchable constraints): each loop edge carries a
+weight s_e updated in closed form every GN iteration,
+s_e = (mu / (mu + chi2_e))^2 — a wildly inconsistent edge gets s ~ 0
+immediately and cannot drag the trajectory; a genuine closure under drift
+keeps s high and s -> 1 as the drift is corrected. Edges whose final
+weight falls below `edge_prune_thres` (o3d edge_prune_threshold, default
+0.25) are dropped and the graph re-solved at full weight
+(reference `pgo_edge_prune_thres`, lc.py:302-316).
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,38 +39,71 @@ class PoseGraph(NamedTuple):
     poses: jnp.ndarray        # (N, 4, 4) node poses (world)
     edges_ij: jnp.ndarray     # (E, 2) int32 node index pairs
     edges_T: jnp.ndarray      # (E, 4, 4) measured T_i_j
-    edges_info: jnp.ndarray   # (E,) scalar information weights
+    edges_info: jnp.ndarray   # (E, 6, 6) information matrices
     edges_valid: jnp.ndarray  # (E,) bool
+    edges_is_loop: jnp.ndarray  # (E,) bool — prunable (odometry edges never)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "huber"))
-def optimize_pose_graph(
-    graph: PoseGraph, iters: int = 20, huber: float = 0.5
-) -> jnp.ndarray:
-    """Gauss-Newton PGO; returns corrected poses (N, 4, 4). Node 0 fixed."""
+def scalar_info(w) -> jnp.ndarray:
+    """Backward-compatible scalar weight -> isotropic 6x6 information."""
+    return jnp.asarray(w)[..., None, None] * jnp.eye(6)
+
+
+def _edge_residuals(poses, graph: PoseGraph):
+    Xi = poses[graph.edges_ij[:, 0]]
+    Xj = poses[graph.edges_ij[:, 1]]
+    rel = jnp.linalg.inv(graph.edges_T) @ jnp.linalg.inv(Xi) @ Xj
+    return se3_log(rel)  # (E, 6)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "huber", "line_mu"))
+def _gn_solve(graph: PoseGraph, iters: int = 20, huber: float = 0.5,
+              line_mu: Optional[float] = None):
+    """Whitened Gauss-Newton over all valid edges.
+
+    With `line_mu` set, loop edges carry line-process weights
+    s_e = (mu / (mu + chi2_e))^2 recomputed each iteration (switchable
+    constraints, as in o3d's GlobalOptimization). Returns
+    (poses (N,4,4), per-edge chi2 (E,), per-edge final line weight (E,)).
+    """
     n = graph.poses.shape[0]
+    # Whitening: L^T r with L = cholesky(info) gives |L^T r|^2 = r^T info r.
+    info = graph.edges_info + 1e-9 * jnp.eye(6)
+    L = jnp.linalg.cholesky(info)                      # (E, 6, 6)
 
-    def residuals(tangents, base_poses):
-        # X_i = base_i @ exp(tau_i)
+    def chi2_of(poses):
+        r = _edge_residuals(poses, graph)
+        chi2 = jnp.einsum("ei,eij,ej->e", r, info, r)
+        # A non-finite residual (degenerate se3_log) is maximal
+        # inconsistency, not a solver poison.
+        return jnp.where(jnp.isfinite(chi2), chi2, 1e12)
+
+    def line_weights(poses):
+        if line_mu is None:
+            return jnp.ones((graph.edges_T.shape[0],))
+        s = (line_mu / (line_mu + chi2_of(poses))) ** 2
+        return jnp.where(graph.edges_is_loop, s, 1.0)
+
+    def residuals(tangents, base_poses, s):
         X = base_poses @ se3_exp(tangents)
-        Xi = X[graph.edges_ij[:, 0]]
-        Xj = X[graph.edges_ij[:, 1]]
-        # r = log(Z^-1 X_i^-1 X_j)
-        Zi_inv = jnp.linalg.inv(graph.edges_T)
-        rel = Zi_inv @ jnp.linalg.inv(Xi) @ Xj
-        r = se3_log(rel)  # (E, 6)
-        # Huber weight per edge on the residual norm.
-        nrm = jnp.linalg.norm(r, axis=-1)
+        r = _edge_residuals(X, graph)                  # (E, 6)
+        # Invalid edges are masked with `where` (0 * NaN = NaN: se3_log of
+        # a wildly wrong pruned edge must not poison the solve).
+        r = jnp.where(graph.edges_valid[:, None] & jnp.isfinite(r), r, 0.0)
+        rw = jnp.einsum("eij,ei->ej", L, r)            # L^T r
+        # Huber on the whitened norm (robustness on top of the line
+        # process, like o3d's robust kernel).
+        nrm = jnp.linalg.norm(rw, axis=-1)
         w = jnp.where(nrm > huber, huber / jnp.maximum(nrm, 1e-9), 1.0)
-        w = w * graph.edges_info * graph.edges_valid
-        return (r * jnp.sqrt(w)[:, None]).reshape(-1)
+        w = w * s * graph.edges_valid
+        return (rw * jnp.sqrt(w)[:, None]).reshape(-1)
 
     def gn_step(poses, _):
+        s = line_weights(poses)
         z = jnp.zeros((n, 6))
-        J = jax.jacrev(residuals)(z, poses)       # (E*6, N, 6)
-        r = residuals(z, poses)
+        J = jax.jacrev(residuals)(z, poses, s)
+        r = residuals(z, poses, s)
         J = J.reshape(r.shape[0], n * 6)
-        # Gauge: fix node 0 by zeroing its columns and adding identity prior.
         mask = jnp.concatenate([jnp.zeros(6), jnp.ones((n - 1) * 6)])
         J = J * mask[None, :]
         H = J.T @ J + 1e-6 * jnp.eye(n * 6) + jnp.diag(1.0 - mask)
@@ -66,5 +111,32 @@ def optimize_pose_graph(
         delta = jnp.linalg.solve(H, g).reshape(n, 6) * mask.reshape(n, 6)
         return poses @ se3_exp(delta), jnp.sum(r * r)
 
-    poses, costs = jax.lax.scan(gn_step, graph.poses, jnp.arange(iters))
+    poses, _ = jax.lax.scan(gn_step, graph.poses, jnp.arange(iters))
+    return poses, chi2_of(poses), line_weights(poses)
+
+
+def optimize_pose_graph(
+    graph: PoseGraph, iters: int = 20, huber: float = 0.5,
+    edge_prune_thres: Optional[float] = None, line_mu: float = 0.25,
+) -> jnp.ndarray:
+    """GN PGO with line-process loop edges; returns corrected poses.
+
+    Node 0 fixed. When `edge_prune_thres` is set (o3d edge_prune_threshold
+    semantics, typically 0.25): loop edges run with line-process weights
+    during the solve; edges whose final weight falls below the threshold
+    are dropped and the graph re-solved from the original poses at full
+    weight. `line_mu` is the chi-square scale at which a loop edge's
+    weight halves (drift tolerance of a genuine closure).
+    """
+    if edge_prune_thres is None:
+        poses, _, _ = _gn_solve(graph, iters=iters, huber=huber)
+        return poses
+    poses, _, s = _gn_solve(graph, iters=iters, huber=huber, line_mu=line_mu)
+    bad = graph.edges_is_loop & (s < edge_prune_thres) & graph.edges_valid
+    if not bool(jnp.any(bad)):
+        return poses
+    poses, _, _ = _gn_solve(
+        graph._replace(edges_valid=graph.edges_valid & ~bad),
+        iters=iters, huber=huber,
+    )
     return poses

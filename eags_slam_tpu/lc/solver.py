@@ -33,6 +33,51 @@ class RegistrationResult(NamedTuple):
     transformation: np.ndarray   # (4, 4)
     fitness: float               # mean residual-derived weight
     overlap: float
+    # 6x6 information matrix of the estimate (point-cloud correspondence
+    # J^T J, reference lc.py:555-560 / o3d get_information_matrix_...);
+    # None -> caller substitutes a scalar-weight isotropic matrix.
+    information: Optional[np.ndarray] = None
+
+
+def information_matrix(points_src: np.ndarray, points_tgt: np.ndarray,
+                       max_corr: float) -> np.ndarray:
+    """Open3D-style 6x6 information matrix from NN correspondences.
+
+    For each source point p with a target neighbor within `max_corr`, the
+    point-to-point residual's Jacobian wrt the [rho, phi] twist at identity
+    is A_p = [I3 | -skew(p)]; the information is sum_p A_p^T A_p (the same
+    J^T J the reference gets from
+    o3d.pipelines.registration.get_information_matrix_from_point_clouds,
+    lc.py:555-560).
+    """
+    from ..ops import knn as _knn
+
+    p_src = jnp.asarray(points_src, jnp.float32)
+    p_tgt = jnp.asarray(points_tgt, jnp.float32)
+    d2, _ = _knn.nearest_neighbor(
+        p_src, jnp.ones((p_src.shape[0],), bool),
+        p_tgt, jnp.ones((p_tgt.shape[0],), bool),
+    )
+    m = np.asarray(d2) < max_corr * max_corr
+    p = np.asarray(points_src)[m]
+    if p.shape[0] == 0:
+        return np.eye(6)
+    # A^T A in closed form with S = skew(p):
+    #   sum_p S        = skew(sum_p p)
+    #   sum_p S^T S    = (sum |p|^2) I3 - sum p p^T
+    n = p.shape[0]
+    ps = p.sum(axis=0)
+    sk = np.array([
+        [0.0, -ps[2], ps[1]],
+        [ps[2], 0.0, -ps[0]],
+        [-ps[1], ps[0], 0.0],
+    ])
+    info = np.zeros((6, 6))
+    info[:3, :3] = n * np.eye(3)
+    info[:3, 3:] = -sk
+    info[3:, :3] = -sk.T
+    info[3:, 3:] = float((p * p).sum()) * np.eye(3) - p.T @ p
+    return info
 
 
 def _pad_params(g: Dict[str, np.ndarray], capacity: int):
