@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.image import rgb_to_gray, sobel
 
@@ -66,10 +67,24 @@ def global_descriptor(rgb: jnp.ndarray, dim: int = 1024) -> jnp.ndarray:
 
 
 class GlobalDesc:
-    """Drop-in analog of the reference's NetVLAD wrapper."""
+    """Drop-in analog of the reference's NetVLAD wrapper.
+
+    Weight-gated like LPIPS: when `weights/netvlad.npz` is present the full
+    VGG16+NetVLAD architecture (lc/netvlad.py) is used (4096-d, as the
+    reference's hloc NetVLAD, src/gsr/descriptor.py:14-28); otherwise the
+    training-free HOG/GIST stand-in above (1024-d). Both produce unit
+    vectors compared by dot product, so the detection logic is unchanged.
+    """
 
     def __init__(self, dim: int = 1024):
-        self.dim = dim
+        from . import netvlad
+
+        self._net = netvlad.load() is not None
+        self.dim = 4096 if self._net else dim
 
     def __call__(self, rgb) -> jnp.ndarray:
+        if self._net:
+            from . import netvlad
+
+            return netvlad.describe(np.asarray(rgb))
         return global_descriptor(jnp.asarray(rgb), self.dim)

@@ -139,10 +139,11 @@ def icp_registration(
     dist: float = 0.25,
     robust: bool = False,
 ) -> RegistrationResult:
-    """Point-to-point ICP on gaussian centers (reference icp/robust_icp paths
-    lc.py:454-566, Open3D). `robust` shrinks the correspondence distance over
-    iterations (a cheap multi-scale schedule standing in for FPFH+RANSAC
-    init, gsr/pcr.py). Returns the correction C for the target cloud."""
+    """Point-to-point ICP on gaussian centers (reference icp/robust_icp
+    paths lc.py:454-566, Open3D). `robust` first runs the FPFH + RANSAC
+    global registration (lc/pcr.py, reference gsr/pcr.py:10-45) to escape
+    large-basin misalignments, then refines with a shrinking-distance ICP
+    schedule. Returns the correction C for the target cloud."""
     src = gauss_src["xyz"].astype(np.float64)
     tgt = gauss_tgt["xyz"].astype(np.float64)
     cap = 20000
@@ -152,6 +153,13 @@ def icp_registration(
     if len(tgt) > cap:
         tgt = tgt[rng.choice(len(tgt), cap, replace=False)]
     C = np.eye(4)
+    if robust:
+        from .pcr import global_registration
+
+        # C maps target-cloud points toward the source cloud.
+        T_init, inl = global_registration(tgt, src)
+        if inl > 0.1:
+            C = T_init
     fitness = 0.0
     src_j = jnp.asarray(src, dtype=jnp.float32)
     src_mask = jnp.ones((len(src),), bool)

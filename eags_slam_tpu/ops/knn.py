@@ -75,6 +75,23 @@ def mean_sq_dist_knn(pts, mask, k: int = 3, chunk: int = 1024):
     return jnp.where(mask, jnp.maximum(md, 1e-8), 1e-8)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "self_offset"))
+def mean_sq_dist_knn_query(query, qmask, ref, rmask, k: int = 3,
+                           chunk: int = 1024, self_offset=None):
+    """distCUDA2 for QUERY rows only against a reference set.
+
+    Same semantics as `mean_sq_dist_knn` restricted to the query rows —
+    when the queries are a slice of ref starting at `self_offset`,
+    self-matches are excluded. Avoids the full ref x ref pass when only a
+    few new rows need scale init (mapper growth: ~30k candidates vs ~300k
+    union; the square pass measured ~2.8 s per mapped frame on the v5e).
+    """
+    d2 = _chunked_min_or_topk(query, qmask, ref, rmask, k, chunk,
+                              exclude_self_offset=self_offset)
+    md = jnp.mean(jnp.where(d2 >= _INF * 0.5, 0.0, d2), axis=-1)
+    return jnp.where(qmask, jnp.maximum(md, 1e-8), 1e-8)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def nearest_sq_dist(query, qmask, ref, rmask, chunk: int = 1024):
     """Squared distance to the nearest reference point, (Nq,)."""

@@ -90,8 +90,14 @@ def empty_keyframes(k: int, cam: Camera) -> KeyframeBatch:
     )
 
 
+@functools.partial(jax.jit, donate_argnums=0)
 def push_keyframe(kfs: KeyframeBatch, slot, color, depth, w2c, exposure
                   ) -> KeyframeBatch:
+    """Write a keyframe into `slot` (dynamic index, ONE compile for all
+    slots — a Python-int slot made XLA specialize per value, ~55 s of
+    compiles over a submap's lifetime). Donation updates the stacked
+    keyframe buffers in place (hundreds of MB at Replica resolution)."""
+    slot = jnp.asarray(slot, jnp.int32)
     return KeyframeBatch(
         color=kfs.color.at[slot].set(color),
         depth=kfs.depth.at[slot].set(depth),
@@ -221,10 +227,15 @@ def grow_submap(
     sample_valid = keep
 
     # Scale init: kNN over (alive submap + new samples), like the reference's
-    # global_scale_init distCUDA2 over the concatenated cloud (:251-255).
+    # global_scale_init distCUDA2 over the concatenated cloud (:251-255) —
+    # computed for the CANDIDATE rows only (query-vs-union), not the full
+    # union x union square.
     union_pts = jnp.concatenate([state.params.xyz, cand], axis=0)
     union_mask = jnp.concatenate([state.alive, sample_valid], axis=0)
-    dist2 = knn.mean_sq_dist_knn(union_pts, union_mask)[state.alive.shape[0]:]
+    dist2 = knn.mean_sq_dist_knn_query(
+        cand, sample_valid, union_pts, union_mask,
+        self_offset=state.params.xyz.shape[0],
+    )
 
     if use_edge:
         (_, _, pair_valid, exyz, ergb, elog_s, equat, member) = edge_pair_seeds(

@@ -53,6 +53,13 @@ class VOConfig(NamedTuple):
     histogram_level: int = 1
     good_bad_ratio: float = 4.0
     dt_window: int = 32
+    # Where the VO device programs run. "cpu" (default) keeps edge VO on
+    # the host backend like the reference's C++ frontend — it then truly
+    # overlaps with TPU tracking/mapping via the VO thread instead of
+    # serializing on the single chip, and avoids per-call tunnel latency
+    # for the many small LM/pyramid programs. "default" inherits the
+    # session backend (used by CPU tests, where it's the same thing).
+    device: str = "cpu"
 
     @staticmethod
     def from_dict(d: Dict) -> "VOConfig":
@@ -71,6 +78,7 @@ class VOConfig(NamedTuple):
             lm_eps=float(d.get("lm_eps", 0.999)),
             good_bad_ratio=float(d.get("good_bad_ratio", 4.0)),
             dt_window=int(d.get("dt_window", 32)),
+            device=str(d.get("device", "cpu")),
         )
 
 
@@ -124,6 +132,12 @@ class EdgeVO:
     def __init__(self, cfg: VOConfig, cam: Camera):
         self.cfg = cfg
         self.cam = cam
+        self._device = None
+        if cfg.device == "cpu":
+            try:
+                self._device = jax.devices("cpu")[0]
+            except RuntimeError:
+                self._device = None  # cpu backend unavailable: inherit
         self.keyframes: List[_Keyframe] = []
         # pose graph: per frame (kf_index, T_kf_frame f64)
         self.graph: List[tuple] = []
@@ -240,6 +254,13 @@ class EdgeVO:
     def step(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float
              ) -> np.ndarray:
         """Process one frame; returns Twc (4,4) float64."""
+        if self._device is not None:
+            with jax.default_device(self._device):
+                return self._step(rgb, depth, timestamp)
+        return self._step(rgb, depth, timestamp)
+
+    def _step(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float
+              ) -> np.ndarray:
         t0 = time.perf_counter()
         frame_id = len(self.graph)
         pyr = build_pyramid(
