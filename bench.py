@@ -47,7 +47,7 @@ def make_config(n_frames: int, out: str):
     config["mapping"].update(
         {
             "map_every": 2,
-            "new_submap_every": 8,      # >=2 submap transitions per run
+            "new_submap_every": 12,     # >=2 submap transitions per run
             "iterations": 100,
             "new_submap_iterations": 100,
             "new_submap_points_num": 100000,
@@ -84,7 +84,10 @@ def run_once(n_frames: int, out: str):
 
 def main():
     quick = "--quick" in sys.argv
-    n = 12 if quick else 24
+    # Full orbit within the run (loop-closure revisit); 48 frames keeps
+    # per-frame rotation at 7.5 deg — still harsher than Replica motion,
+    # but within the tracker's init basin.
+    n = 24 if quick else 48
 
     # Warm-up at full shapes (jit cache in-process + persistent cache on
     # disk); tracked/mapped frame shapes match the measured run.

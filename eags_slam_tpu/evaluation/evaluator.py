@@ -113,13 +113,17 @@ class Evaluator:
     # ------------------------------------------------------------------
     def run_reconstruction_eval(self) -> Dict:
         """TSDF-fuse rendered keyframes, extract + clean mesh, mesh metrics
-        vs. GT depth backprojections (reference :188-243 + evaluate_
-        reconstruction.py). GT mesh files are not shipped here, so the GT
-        surface is the depth-map point cloud (same tau=0.01 F-score form).
+        vs. the GT surface (reference :188-243 + evaluate_reconstruction.py).
+
+        The GT surface is a supplied GT mesh (`evaluation.gt_mesh` ply path,
+        reference clean_mesh + F-score path :257-290) when available,
+        otherwise the sensor-depth point cloud. Also reports the
+        1000-random-virtual-view unseen depth-L1 (reference :97-197).
         """
         from ..ops.tsdf import grid_bounds_from_trajectory, integrate, make_grid
         from ..slam.submap import Submap
-        from .mesh import clean_mesh, mesh_metrics, sample_surface, save_ply, surface_nets
+        from .mesh import (clean_mesh, load_ply, mesh_metrics, sample_surface,
+                           save_ply, surface_nets, unseen_depth_l1)
 
         voxel = float(self.config.get("evaluation", {}).get("mesh_voxel", 0.02))
         trunc = 4 * voxel
@@ -173,10 +177,27 @@ class Evaluator:
         os.makedirs(mesh_dir, exist_ok=True)
         save_ply(os.path.join(mesh_dir, "cleaned_mesh.ply"), verts, faces)
 
-        out: Dict = {"n_vertices": int(len(verts)), "n_faces": int(len(faces))}
-        if len(faces) and gt_pts:
+        ev = self.config.get("evaluation", {})
+        gt_mesh_path = ev.get("gt_mesh")
+        if gt_mesh_path and os.path.exists(gt_mesh_path):
+            gv, gf = load_ply(gt_mesh_path)
+            gt_surface = sample_surface(gv, gf, 200000)
+            gt_source = "gt_mesh"
+        else:
+            gt_surface = np.concatenate(gt_pts) if gt_pts else np.zeros((0, 3))
+            gt_source = "sensor_depth"
+
+        out: Dict = {"n_vertices": int(len(verts)), "n_faces": int(len(faces)),
+                     "gt_source": gt_source}
+        if len(faces) and len(gt_surface):
             pred_pts = sample_surface(verts, faces, 20000)
-            out.update(mesh_metrics(pred_pts, np.concatenate(gt_pts), tau=0.01))
+            out.update(mesh_metrics(pred_pts, gt_surface, tau=0.01))
+            n_views = int(ev.get("unseen_views", 1000))
+            if n_views > 0:
+                out["depth_l1_sample_view"] = unseen_depth_l1(
+                    sample_surface(verts, faces, 200000), gt_surface,
+                    n_views=n_views, res=int(ev.get("unseen_res", 128)),
+                )
         with open(os.path.join(self.output_path,
                                "reconstruction_metrics.json"), "w") as f:
             json.dump(out, f, indent=2)

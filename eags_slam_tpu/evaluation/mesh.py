@@ -219,3 +219,88 @@ def mesh_metrics(pred_pts: np.ndarray, gt_pts: np.ndarray,
         "recall": recall,
         "f1": f1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Unseen-view depth L1 (reference evaluate_reconstruction.py:97-197)
+# ---------------------------------------------------------------------------
+
+
+def _zbuffer_batch(points, c2ws, res: int, focal: float):
+    """Point-splat z-buffers for a BATCH of views.
+
+    points (N, 3) world; c2ws (V, 4, 4). Returns (V, res, res) depth maps
+    (0 = empty). TPU-friendly replacement for the reference's o3d offscreen
+    mesh renders: surfaces are represented by dense surface samples and
+    depth is a per-pixel scatter-min — one jitted program per view batch
+    instead of 2000 host-side renderer round trips.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cx = cy = res / 2.0 - 0.5
+    pts = jnp.asarray(points, jnp.float32)
+
+    @jax.jit
+    def one(w2c):
+        p = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        z = p[:, 2]
+        u = jnp.round(p[:, 0] / jnp.maximum(z, 1e-6) * focal + cx).astype(jnp.int32)
+        v = jnp.round(p[:, 1] / jnp.maximum(z, 1e-6) * focal + cy).astype(jnp.int32)
+        ok = (z > 0.05) & (u >= 0) & (u < res) & (v >= 0) & (v < res)
+        pix = jnp.where(ok, v * res + u, res * res)
+        zb = jnp.full((res * res + 1,), jnp.inf, jnp.float32)
+        zb = zb.at[pix].min(jnp.where(ok, z, jnp.inf))
+        zb = zb[:-1].reshape(res, res)
+        return jnp.where(jnp.isfinite(zb), zb, 0.0)
+
+    w2cs = jnp.linalg.inv(jnp.asarray(c2ws, jnp.float32))
+    return np.asarray(jax.vmap(one)(w2cs))
+
+
+def _viewmatrix(target: np.ndarray, up: np.ndarray, origin: np.ndarray):
+    z = target / max(np.linalg.norm(target), 1e-9)
+    x = np.cross(up, z)
+    x = x / max(np.linalg.norm(x), 1e-9)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, origin
+    return c2w
+
+
+def unseen_depth_l1(pred_pts: np.ndarray, gt_pts: np.ndarray,
+                    n_views: int = 1000, res: int = 128,
+                    seed: int = 0, batch: int = 100) -> float:
+    """Depth L1 (cm) over random virtual views of pred vs GT surface.
+
+    Protocol follows the reference calc_2d_metric (:97-197): camera origins
+    sampled uniformly in the (shrunk) GT bounding volume, random look-at
+    directions, z-up convention; per-view mean |gt - pred| over pixels
+    where the prediction has depth; result is mean * 100 (meters -> cm).
+    Deviations (documented): surfaces are rendered as point-splat z-buffers
+    at `res`^2 instead of o3d 500^2 mesh rasterization, and the
+    unseen-region view-rejection step is skipped (no unseen_pointcloud
+    artifact exists in this pipeline).
+    """
+    rng = np.random.default_rng(seed)
+    lo = np.percentile(gt_pts, 5, axis=0)
+    hi = np.percentile(gt_pts, 95, axis=0)
+    center, half = (lo + hi) / 2, (hi - lo) / 2 * 0.6
+    focal = 0.6 * res  # fov ~80deg, like the reference's 300/500
+
+    errs = []
+    for b0 in range(0, n_views, batch):
+        nb = min(batch, n_views - b0)
+        origins = center + rng.uniform(-1, 1, (nb, 3)) * half
+        targets = rng.normal(size=(nb, 3))
+        c2ws = np.stack([
+            _viewmatrix(t, np.array([0.0, 0.0, -1.0]), o)
+            for t, o in zip(targets, origins)
+        ])
+        d_pred = _zbuffer_batch(pred_pts, c2ws, res, focal)
+        d_gt = _zbuffer_batch(gt_pts, c2ws, res, focal)
+        for i in range(nb):
+            m = (d_pred[i] > 0) & (d_gt[i] > 0)
+            if m.sum() > 0:
+                errs.append(float(np.abs(d_gt[i][m] - d_pred[i][m]).mean()))
+    return float(np.mean(errs) * 100.0) if errs else float("nan")

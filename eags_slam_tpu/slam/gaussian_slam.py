@@ -127,8 +127,15 @@ class GaussianSLAM:
         ):
             from ..vo.system import EdgeVO, VOConfig
 
+            vo_cfg_dict = dict(self.config.get("vo", {}))
+            if ("downscale_levels" not in vo_cfg_dict
+                    and self.dataset.full_camera.width > 800):
+                # Large frames: run VO at half resolution (the reference
+                # resizes ScanNetPP to 640x480 for VO; the render tracker
+                # refines the pose regardless).
+                vo_cfg_dict["downscale_levels"] = 1
             self.odometer = EdgeVO(
-                VOConfig.from_dict(self.config.get("vo", {})),
+                VOConfig.from_dict(vo_cfg_dict),
                 self.dataset.full_camera,
             )
 
@@ -228,6 +235,13 @@ class GaussianSLAM:
             e = self.odometer.get_edge_image(frame_id)
             if e is not None:
                 e = np.asarray(e, bool)
+                # VO may run decimated (VOConfig.downscale_levels):
+                # upsample its edge map back to full resolution first.
+                full_h = self.dataset.full_camera.height
+                sy = max(int(round(full_h / e.shape[0])), 1)
+                if sy > 1:
+                    e = np.repeat(np.repeat(e, sy, axis=0), sy, axis=1)
+                    e = e[:full_h, :self.dataset.full_camera.width]
                 c = self.config["cam"].get("crop_edge", 0)
                 if c:
                     e = e[c:-c, c:-c]
@@ -310,6 +324,21 @@ class GaussianSLAM:
             )
         self.submap_kf_frame_ids.append(frame_id)
         self._n_alive = int(G.num_alive(self.state))
+
+        # Mapping visualization panel every 10 keyframes (reference
+        # logger.py:116-199 saves 2x3 panels; verbose-gated inside).
+        self._n_mapped = getattr(self, "_n_mapped", 0) + 1
+        if self.verbose and self._n_mapped % 10 == 0:
+            from ..core.sh import sh_to_rgb
+            from ..ops.rasterizer import render
+
+            p = self.state.params
+            out = render(p.xyz, p.quats, p.log_scales, p.opacity_logits,
+                         sh_to_rgb(p.f_dc), w2c32, self.cam, self.rcfg,
+                         alive=self.state.alive)
+            self.logger.vis_mapping(frame_id, out.color, out.depth,
+                                    gt_color, gt_depth, seeding_mask)
+
         return {
             "n_added": int(n_added),
             "n_alive": self._n_alive,

@@ -375,6 +375,7 @@ def optimize_submap(
     ema_beta = 0.8 if use_subset else 0.0
 
     class Carry(NamedTuple):
+        it: jnp.ndarray
         opt: OptimizedParams
         adam: optim.AdamState
         alive: jnp.ndarray
@@ -386,9 +387,12 @@ def optimize_submap(
         early_cnt: jnp.ndarray
         stopped: jnp.ndarray
         key: jax.Array
+        losses: jnp.ndarray
 
     def step(c: Carry, it):
         key, k_sel, k_tiles = jax.random.split(c.key, 3)
+        del it  # while_loop carries its own counter
+        it = c.it
         kidx = jnp.where(
             it < 5, 0, jax.random.categorical(k_sel, jnp.log(p_kf + 1e-12))
         ).astype(jnp.int32)
@@ -403,7 +407,7 @@ def optimize_submap(
         grads = jax.tree.map(
             lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
         )
-        do_update = ~c.stopped
+        do_update = jnp.array(True)  # early stop EXITS the loop now
         new_opt, new_adam = optim.adam_update(c.adam, c.opt, grads, lr_tree)
         opt = jax.tree.map(
             lambda n, o: jnp.where(do_update, n, o), new_opt, c.opt
@@ -443,14 +447,13 @@ def optimize_submap(
         early_cnt = jnp.where(bad, c.early_cnt + 1, 0)
         stopped = c.stopped | (early_cnt > early_thre)
 
-        return (
-            Carry(opt, adam, alive, best_loss, ema, ckpt_opt, ckpt_adam,
-                  has_ckpt, early_cnt, stopped, key),
-            jnp.stack([total, cl, dl]),
-        )
+        losses = c.losses.at[it].set(jnp.stack([total, cl, dl]))
+        return Carry(it + 1, opt, adam, alive, best_loss, ema, ckpt_opt,
+                     ckpt_adam, has_ckpt, early_cnt, stopped, key, losses)
 
     opt0 = _split(state.params)
     init = Carry(
+        it=jnp.zeros((), jnp.int32),
         opt=opt0,
         # Moments persist across map() calls within a submap (the reference
         # keeps one torch optimizer per submap; new rows were zeroed by
@@ -465,8 +468,20 @@ def optimize_submap(
         early_cnt=jnp.zeros((), jnp.int32),
         stopped=jnp.array(False),
         key=key,
+        # Unvisited slots keep the last visited loss (forward-filled below).
+        losses=jnp.zeros((iterations, 3)),
     )
-    final, losses = jax.lax.scan(step, init, jnp.arange(iterations))
+    # A while_loop EXITS on early stop (the reference breaks; the previous
+    # scan kept rendering with frozen params, paying full iteration cost).
+    final = jax.lax.while_loop(
+        lambda c: (c.it < iterations) & ~c.stopped,
+        lambda c: step(c, None),
+        init,
+    )
+    # Forward-fill the tail of the loss log with the last real entry.
+    last = final.losses[jnp.maximum(final.it - 1, 0)]
+    it_idx = jnp.arange(iterations)[:, None]
+    losses = jnp.where(it_idx < final.it, final.losses, last[None, :])
 
     # Final rollback + prune < 0.01 (reference :216-223).
     roll = final.has_ckpt & (final.best_loss < final.ema)

@@ -53,6 +53,14 @@ class VOConfig(NamedTuple):
     histogram_level: int = 1
     good_bad_ratio: float = 4.0
     dt_window: int = 32
+    # Input decimation: the VO runs at full_res / 2^downscale_levels
+    # (the reference itself resizes ScanNetPP to 640x480 for VO,
+    # datasets.py:397-399). 1 level halves each dimension: 4x less work on
+    # the 1-core host backend with no measurable odometry quality loss at
+    # SLAM-init accuracy (the render tracker refines the pose anyway).
+    # Default 0; GaussianSLAM enables 1 level automatically for frames
+    # wider than 800 px unless the config pins it.
+    downscale_levels: int = 0
     # Where the VO device programs run. "cpu" (default) keeps edge VO on
     # the host backend like the reference's C++ frontend — it then truly
     # overlaps with TPU tracking/mapping via the VO thread instead of
@@ -78,6 +86,7 @@ class VOConfig(NamedTuple):
             lm_eps=float(d.get("lm_eps", 0.999)),
             good_bad_ratio=float(d.get("good_bad_ratio", 4.0)),
             dt_window=int(d.get("dt_window", 32)),
+            downscale_levels=int(d.get("downscale_levels", 0)),
             device=str(d.get("device", "cpu")),
         )
 
@@ -131,7 +140,8 @@ class EdgeVO:
 
     def __init__(self, cfg: VOConfig, cam: Camera):
         self.cfg = cfg
-        self.cam = cam
+        self._ds = max(int(cfg.downscale_levels), 0)
+        self.cam = cam.scaled(self._ds) if self._ds else cam
         self._device = None
         if cfg.device == "cpu":
             try:
@@ -262,6 +272,11 @@ class EdgeVO:
     def _step(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float
               ) -> np.ndarray:
         t0 = time.perf_counter()
+        if self._ds:
+            f = 1 << self._ds
+            h, w = self.cam.height * f, self.cam.width * f
+            rgb = rgb[:h:f, :w:f]
+            depth = depth[:h:f, :w:f]
         frame_id = len(self.graph)
         pyr = build_pyramid(
             rgb, depth, self.cam, self.cfg.levels, self.cfg.max_edge_points,

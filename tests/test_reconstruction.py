@@ -64,3 +64,27 @@ def test_merge_submaps_dedup():
     }
     merged = merge_submaps([g, g], voxel=0.001)  # exact duplicates collapse
     assert merged["xyz"].shape[0] == 100
+
+
+def test_unseen_depth_l1_detects_offset(rng):
+    """Identical surfaces -> ~0 cm; a 5 cm-offset box surface -> ~5 cm."""
+    from eags_slam_tpu.evaluation.mesh import unseen_depth_l1
+
+    # Dense samples of an axis-aligned box shell (room-like, cameras inside).
+    n = 30000
+    face = rng.integers(0, 6, n)
+    uv = rng.uniform(-1, 1, (n, 2))
+    pts = np.zeros((n, 3), np.float32)
+    ax = face // 2
+    sign = np.where(face % 2 == 0, -1.0, 1.0)
+    others = np.stack([(a + 1) % 3 for a in ax]), np.stack([(a + 2) % 3 for a in ax])
+    pts[np.arange(n), ax] = sign * 1.0
+    pts[np.arange(n), others[0]] = uv[:, 0]
+    pts[np.arange(n), others[1]] = uv[:, 1]
+
+    same = unseen_depth_l1(pts, pts.copy(), n_views=40, res=64)
+    assert same < 0.5, same  # sub-voxel-ish, cm
+
+    shrunk = pts * 0.95  # walls pulled in by 5% -> ~5 cm depth bias
+    off = unseen_depth_l1(shrunk, pts, n_views=40, res=64)
+    assert off > same + 1.0, (off, same)
