@@ -47,8 +47,11 @@ class _SubmapInfo:
 
 class LoopClosure:
     def __init__(self, config: Dict, output_path: str, cam: Camera,
-                 dataset=None):
+                 dataset=None, device=None):
         lc = config.get("lc", {})
+        # Optional dedicated device for the LC programs (the reference's
+        # `lc.device: 1` second GPU, configs/Replica/replica.yaml:59).
+        self._device = device
         self.enabled = bool(lc.get("enabled", True))
         self.parallel = bool(lc.get("parallel", True))
         self.min_interval = int(lc.get("min_interval", 3))
@@ -272,7 +275,15 @@ class LoopClosure:
 
     def _run(self, submap_id: int, frame_id: int, twc: np.ndarray):
         """Background LC pass (reference run :614-637 + loop_closure
-        :279-331)."""
+        :279-331). Pinned to the dedicated LC device when one exists."""
+        if self._device is not None:
+            import jax
+
+            with jax.default_device(self._device):
+                return self._run_inner(submap_id, frame_id, twc)
+        return self._run_inner(submap_id, frame_id, twc)
+
+    def _run_inner(self, submap_id: int, frame_id: int, twc: np.ndarray):
         self._load_submap_info(submap_id, frame_id)
         if len(self.infos) == 0:
             return

@@ -118,6 +118,21 @@ class GaussianSLAM:
                              config.get("use_wandb", False))
         self.tracker = Tracker(self.tcfg, self.rcfg, self.cam)
 
+        # Device mesh (SURVEY.md §2.4 P4): with >1 devices, mapping runs
+        # data-parallel over keyframes (gradients pmean over ICI) and loop
+        # closure is pinned to the last device — the TPU equivalent of the
+        # reference's pipeline-on-GPU0 / LC-on-GPU1 layout
+        # (configs/Replica/replica.yaml:7,59).
+        self.mesh = None
+        self._lc_device = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and bool(config.get("use_mesh", True)):
+            from ..parallel.mesh import make_mesh
+
+            n_map = n_dev - 1 if n_dev > 2 else n_dev
+            self.mesh = make_mesh(n_map)
+            self._lc_device = jax.devices()[-1] if n_dev > 2 else None
+
         import concurrent.futures
 
         self._vo_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
@@ -144,7 +159,8 @@ class GaussianSLAM:
             from ..lc.loop_closure import LoopClosure
 
             self.loop_closer = LoopClosure(config, self.output_path, self.cam,
-                                           self.dataset)
+                                           self.dataset,
+                                           device=self._lc_device)
 
         n = len(self.dataset)
         self.estimated_c2ws = np.tile(np.eye(4), (n, 1, 1))
@@ -301,6 +317,7 @@ class GaussianSLAM:
         packed, opt = M.optimize_submap(
             packed, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
             jnp.asarray(self._key()), iters, self.cam, self.rcfg, self.mcfg,
+            mesh=self.mesh,
         )
         if idx is None:
             self.state = packed

@@ -272,7 +272,8 @@ def _keyframe_distribution(n_kf, k_max: int, cur_frac: float):
     return p / jnp.sum(p)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg", "mesh"))
 def optimize_submap(
     state: GaussianState,
     kfs: KeyframeBatch,
@@ -282,6 +283,7 @@ def optimize_submap(
     cam: Camera,
     rcfg: RasterConfig,
     mcfg: MapperConfig,
+    mesh=None,
 ) -> Tuple[GaussianState, dict]:
     """Jitted optimization scan. Keyframe 0 is the current frame.
 
@@ -290,8 +292,14 @@ def optimize_submap(
     lambda (1-SSIM) + L1_depth_masked + isotropic reg, Adam step. Every 5%
     iters snapshot best-(params, adam); at 30%/60% iters roll back if the
     current loss is worse than the snapshot, then prune opacity < thre.
-    After the last prune an early-stop counter freezes updates once the loss
-    exceeds 1.15x the best for >5% consecutive iters. Final prune < 0.01.
+    After the last prune an early-stop counter exits once the loss exceeds
+    1.15x the best for >5% consecutive iters. Final prune < 0.01.
+
+    With `mesh` (jax.sharding.Mesh, data axis = devices), each iteration
+    samples one keyframe PER DEVICE from the same distribution; per-device
+    render+grad runs under shard_map and gradients/losses pmean over ICI —
+    the data-parallel generalization of the reference's one-keyframe loop
+    (SURVEY.md §2.4 P4: the TPU equivalent of the dual-GPU layout).
     """
     frozen = state.params
     ckpt_every = max(int(0.05 * iterations), 1)
@@ -368,6 +376,50 @@ def optimize_submap(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    n_dev = 1
+    if mesh is not None and mesh.devices.size > 1:
+        n_dev = int(mesh.devices.size)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def _one_dev(opt, alive, color, depth, w2c, exp):
+            # Per-device single-keyframe loss (leading shard axis size 1).
+            def lf(opt):
+                params = _merge(frozen, opt)
+                out = render(params.xyz, params.quats, params.log_scales,
+                             params.opacity_logits, sh_to_rgb(params.f_dc),
+                             w2c[0], cam, rcfg, alive=alive)
+                image = jnp.clip(
+                    out.color * jnp.exp(exp[0, 0]) + exp[0, 1], 0.0, 1.0
+                )
+                mask = (depth[0] > 0) & ~jnp.isnan(out.depth)
+                m3 = mask[..., None].astype(image.dtype)
+                cl1 = masked_l1(image, color[0], jnp.tile(m3, (1, 1, 3)))
+                cl = (1.0 - mcfg.lambda_dssim) * cl1 + mcfg.lambda_dssim * (
+                    1.0 - ssim(image, color[0])
+                )
+                dl = masked_l1(out.depth, depth[0], mask.astype(image.dtype))
+                reg = isotropic_loss(params.log_scales, alive)
+                return cl + dl + reg, (cl, dl)
+
+            (total, (cl, dl)), grads = jax.value_and_grad(lf, has_aux=True)(opt)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+            return (jax.lax.pmean(total, axis),
+                    (jax.lax.pmean(cl, axis), jax.lax.pmean(dl, axis))), grads
+
+        _dp_grad = shard_map(
+            _one_dev, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=((P(), (P(), P())), P()),
+            check_rep=False,
+        )
+
+        def grad_fn_dp(opt, alive, kidxs):
+            return _dp_grad(opt, alive, kfs.color[kidxs], kfs.depth[kidxs],
+                            kfs.w2c[kidxs], kfs.exposure[kidxs])
+
     # Under tile-subset SGD the per-iteration loss is a noisy estimate:
     # checkpoint/rollback/early-stop decisions compare an EMA instead of the
     # raw draw (otherwise a lucky low draw becomes an unbeatable best_loss
@@ -401,7 +453,17 @@ def optimize_submap(
             tile_ids = tile_ids.astype(jnp.int32)
         else:
             tile_ids = None
-        (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx, tile_ids)
+        if n_dev > 1:
+            kidxs = jnp.where(
+                it < 5,
+                jnp.zeros((n_dev,), jnp.int32),
+                jax.random.categorical(
+                    k_sel, jnp.log(p_kf + 1e-12), shape=(n_dev,)
+                ).astype(jnp.int32),
+            )
+            (total, (cl, dl)), grads = grad_fn_dp(c.opt, c.alive, kidxs)
+        else:
+            (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx, tile_ids)
         ema = jnp.where(it == 0, total, ema_beta * c.ema + (1 - ema_beta) * total)
         gmask = c.alive.astype(jnp.float32)
         grads = jax.tree.map(

@@ -97,14 +97,14 @@ class FramePyramid(NamedTuple):
     timestamp: float
 
 
-def build_pyramid(
-    rgb_u8, depth, cam: Camera, n_levels: int, max_pts: int,
-    low: float, high: float, depth_min: float, depth_max: float,
-    timestamp: float = 0.0,
-) -> FramePyramid:
-    """Host-side level assembly; each level is a jitted program."""
-    gray = rgb_to_gray(jnp.asarray(rgb_u8).astype(jnp.float32))
-    d = jnp.asarray(depth)
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "n_levels", "max_pts", "low", "high",
+                     "depth_min", "depth_max"),
+)
+def _build_all_levels(gray, d, cam: Camera, n_levels: int, max_pts: int,
+                      low: float, high: float, depth_min: float,
+                      depth_max: float):
     levels: List[PyramidLevel] = []
     finer_edges = None
     for lvl in range(n_levels):
@@ -117,6 +117,20 @@ def build_pyramid(
         finer_edges = level.edges
         if lvl + 1 < n_levels:
             gray, d = _downsample(gray, d)
+    return tuple(levels)
+
+
+def build_pyramid(
+    rgb_u8, depth, cam: Camera, n_levels: int, max_pts: int,
+    low: float, high: float, depth_min: float, depth_max: float,
+    timestamp: float = 0.0,
+) -> FramePyramid:
+    """All levels assembled in ONE device program (per-level programs cost
+    a ~30 ms tunnel round trip each on this host)."""
+    gray = rgb_to_gray(jnp.asarray(rgb_u8).astype(jnp.float32))
+    d = jnp.asarray(depth)
+    levels = _build_all_levels(gray, d, cam, n_levels, max_pts, low, high,
+                               depth_min, depth_max)
     return FramePyramid(tuple(levels), timestamp)
 
 
@@ -126,6 +140,11 @@ def _kf_level(edges, window: int):
     return KeyframeLevel(gx, gy, dt)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _kf_all_levels(edges_tuple, window: int):
+    return tuple(_kf_level(e, window) for e in edges_tuple)
+
+
 def make_keyframe(pyr: FramePyramid, window: int = 32) -> tuple:
-    """DT + gradient structure per level (`makeKeyframe`)."""
-    return tuple(_kf_level(lv.edges, window) for lv in pyr.levels)
+    """DT + gradient structure per level (`makeKeyframe`), one program."""
+    return _kf_all_levels(tuple(lv.edges for lv in pyr.levels), window)

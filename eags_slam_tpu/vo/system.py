@@ -61,13 +61,12 @@ class VOConfig(NamedTuple):
     # Default 0; GaussianSLAM enables 1 level automatically for frames
     # wider than 800 px unless the config pins it.
     downscale_levels: int = 0
-    # Where the VO device programs run. "cpu" (default) keeps edge VO on
-    # the host backend like the reference's C++ frontend — it then truly
-    # overlaps with TPU tracking/mapping via the VO thread instead of
-    # serializing on the single chip, and avoids per-call tunnel latency
-    # for the many small LM/pyramid programs. "default" inherits the
-    # session backend (used by CPU tests, where it's the same thing).
-    device: str = "cpu"
+    # Where the VO device programs run. "default" (inherit the session
+    # backend) serializes ~5 fused programs/frame with tracking on a single
+    # chip — measured cheaper than "cpu" on this 1-core host, where the VO
+    # thread starves the host loop that feeds the TPU. Multi-core hosts can
+    # set "cpu" to overlap like the reference's C++ frontend.
+    device: str = "default"
 
     @staticmethod
     def from_dict(d: Dict) -> "VOConfig":
@@ -87,8 +86,42 @@ class VOConfig(NamedTuple):
             good_bad_ratio=float(d.get("good_bad_ratio", 4.0)),
             dt_window=int(d.get("dt_window", 32)),
             downscale_levels=int(d.get("downscale_levels", 0)),
-            device=str(d.get("device", "cpu")),
+            device=str(d.get("device", "default")),
         )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _fused_track(levels, kf_levels, R0, t0, cam: Camera, cfg: "VOConfig"):
+    """Coarse-to-fine LM over all pyramid levels in one program, with the
+    coarsest-level identity-vs-init sanity check selected in-graph
+    (reference tracker.cpp:292-314, 357-376)."""
+    df = cfg.dist_filter
+
+    def settings(lvl):
+        return LMSettings(
+            huber_edge=cfg.huber_edge, max_iters=cfg.lm_max_iters,
+            eps=cfg.lm_eps, dist_filter=float(df[min(lvl, len(df) - 1)]),
+        )
+
+    R, t = R0, t0
+    res = None
+    for lvl in range(cfg.levels - 1, cfg.min_level - 1, -1):
+        pts, valid = levels[lvl]
+        gx, gy, dt = kf_levels[lvl]
+        cam_l = cam.scaled(lvl)
+        if lvl == cfg.levels - 1:
+            res_init = lm_align(pts, valid, gx, gy, dt, R, t, cam_l,
+                                settings(lvl))
+            res_eye = lm_align(pts, valid, gx, gy, dt, jnp.eye(3),
+                               jnp.zeros(3), cam_l, settings(lvl))
+            use_eye = res_eye.cost < res_init.cost
+            res = jax.tree.map(
+                lambda a, b: jnp.where(use_eye, a, b), res_eye, res_init
+            )
+        else:
+            res = lm_align(pts, valid, gx, gy, dt, R, t, cam_l, settings(lvl))
+        R, t = res.R, res.t
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -181,7 +214,8 @@ class EdgeVO:
             self.graph[frame_id] = (kf_idx, np.linalg.inv(kf.T_w_kf) @ c2w)
 
     def get_edge_image(self, frame_id: int) -> Optional[np.ndarray]:
-        return self.edge_cache.get(frame_id)
+        e = self.edge_cache.get(frame_id)
+        return None if e is None else np.asarray(e)
 
     # -- tracking -----------------------------------------------------------
     def _lm_settings(self, lvl: int) -> LMSettings:
@@ -195,34 +229,20 @@ class EdgeVO:
 
     def _track_against(self, kf: _Keyframe, pyr: FramePyramid,
                        T_kf_cur_init: np.ndarray):
-        """Coarse-to-fine LM over pyramid levels. Returns (T_kf_cur, result)."""
+        """Coarse-to-fine LM over pyramid levels, fused into ONE device
+        program (the per-level dispatch + the identity-vs-init cost fetches
+        cost a ~30 ms tunnel round trip each). Returns (T_kf_cur, result)."""
         R = jnp.asarray(T_kf_cur_init[:3, :3], dtype=jnp.float32)
         t = jnp.asarray(T_kf_cur_init[:3, 3], dtype=jnp.float32)
-        res = None
-        for lvl in range(self.cfg.levels - 1, self.cfg.min_level - 1, -1):
-            level = pyr.levels[lvl]
-            dtl = kf.dt_levels[lvl]
-            cam_l = self.cam.scaled(lvl)
-            # Coarsest level: identity-vs-init sanity check
-            # (tracker.cpp:292-314).
-            if lvl == self.cfg.levels - 1:
-                res_init = lm_align(level.pts, level.pts_valid, dtl.gx, dtl.gy,
-                                    dtl.dt, R, t, cam_l, self._lm_settings(lvl))
-                eyeR = jnp.eye(3)
-                zt = jnp.zeros(3)
-                res_eye = lm_align(level.pts, level.pts_valid, dtl.gx, dtl.gy,
-                                   dtl.dt, eyeR, zt, cam_l, self._lm_settings(lvl))
-                if float(res_eye.cost) < float(res_init.cost):
-                    res = res_eye
-                else:
-                    res = res_init
-            else:
-                res = lm_align(level.pts, level.pts_valid, dtl.gx, dtl.gy,
-                               dtl.dt, R, t, cam_l, self._lm_settings(lvl))
-            R, t = res.R, res.t
+        res = _fused_track(
+            tuple((lv.pts, lv.pts_valid) for lv in pyr.levels),
+            tuple((d.gx, d.gy, d.dt) for d in kf.dt_levels),
+            R, t, self.cam, self.cfg,
+        )
+        res = jax.device_get(res)
         T = np.eye(4)
-        T[:3, :3] = np.asarray(R, np.float64)
-        T[:3, 3] = np.asarray(t, np.float64)
+        T[:3, :3] = np.asarray(res.R, np.float64)
+        T[:3, 3] = np.asarray(res.t, np.float64)
         return T, res
 
     def _needs_new_kf(self, res: LMResult, T_w_cur: np.ndarray,
@@ -283,7 +303,9 @@ class EdgeVO:
             self.cfg.canny_low, self.cfg.canny_high, self.cfg.depth_min,
             self.cfg.depth_max, timestamp,
         )
-        self.edge_cache[frame_id] = np.asarray(pyr.levels[0].edges)
+        # Device array; fetched lazily in get_edge_image (only mapped
+        # frames ask, and each fetch is a tunnel round trip).
+        self.edge_cache[frame_id] = pyr.levels[0].edges
         for k in [k for k in self.edge_cache if k < frame_id - 4]:
             del self.edge_cache[k]
 
