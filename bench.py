@@ -44,12 +44,18 @@ def make_config(n_frames: int, out: str):
         # Full orbit within the run so loop closure has a revisit.
         "orbit_speed": 1.0 / max(n_frames, 1),
     })
+    # Reference Replica protocol (configs/Replica/replica.yaml): map every
+    # 5th frame, 100 iters per mapped frame, 900-iter submap inits every 50
+    # frames. new_submap_every is shortened to 24 so the run still has >=2
+    # submap transitions + loop closure; new_submap_iterations scales by
+    # the same 24/50 factor to keep the amortized per-frame init cost
+    # faithful to the reference protocol.
     config["mapping"].update(
         {
-            "map_every": 2,
-            "new_submap_every": 12,     # >=2 submap transitions per run
+            "map_every": 5,
+            "new_submap_every": 24,
             "iterations": 100,
-            "new_submap_iterations": 100,
+            "new_submap_iterations": 450,
             "new_submap_points_num": 100000,
             "new_submap_gradient_points_num": 50000,
             "new_frame_sample_size": 30000,

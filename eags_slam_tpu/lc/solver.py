@@ -129,7 +129,7 @@ def viewpoint_localize(
         cam, rcfg, tcfg,
     )
     w2c_new = last_w2c @ np.asarray(rel, np.float64)
-    return np.linalg.inv(w2c_new), float(stats["loss"])
+    return np.linalg.inv(w2c_new), float(stats[0])  # loss (STAT_NAMES)
 
 
 def icp_registration(

@@ -25,7 +25,6 @@ import numpy as np
 from ..config import save_config
 from ..core import gaussians as G
 from ..core.camera import Camera
-from ..core.se3 import const_speed_extrapolate
 from ..datasets import get_dataset
 from ..ops.image import canny, dilate, rgb_to_gray
 from ..ops.rasterizer import RasterConfig
@@ -303,6 +302,12 @@ class GaussianSLAM:
             self.cam.height, self.cam.width, True,
             self.mcfg.outlier_removal and not is_new_submap,
         )
+        # One round trip for both host-needed counts.
+        import jax
+
+        n_added, n_post_grow = jax.device_get(
+            (n_added, G.num_alive(self.state))
+        )
 
         # 4. optimize (current frame in slot 0), on a bucket-compacted state
         # so the per-iteration render cost follows the alive count
@@ -312,8 +317,7 @@ class GaussianSLAM:
         iters = (
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
-        n_post_grow = int(G.num_alive(self.state))
-        packed, idx = G.compact_state(self.state, n_post_grow)
+        packed, idx = G.compact_state(self.state, int(n_post_grow))
         packed, opt = M.optimize_submap(
             packed, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
             jnp.asarray(self._key()), iters, self.cam, self.rcfg, self.mcfg,
@@ -340,7 +344,10 @@ class GaussianSLAM:
                  "max_keyframes": self.mcfg.max_keyframes},
             )
         self.submap_kf_frame_ids.append(frame_id)
-        self._n_alive = int(G.num_alive(self.state))
+        final_loss, n_alive = jax.device_get(
+            (opt["losses"][-1, 0], G.num_alive(self.state))
+        )
+        self._n_alive = int(n_alive)
 
         # Mapping visualization panel every 10 keyframes (reference
         # logger.py:116-199 saves 2x3 panels; verbose-gated inside).
@@ -359,7 +366,7 @@ class GaussianSLAM:
         return {
             "n_added": int(n_added),
             "n_alive": self._n_alive,
-            "final_loss": float(opt["losses"][-1, 0]),
+            "final_loss": float(final_loss),
         }
 
     def _upload_frame(self, color, depth):
@@ -418,14 +425,12 @@ class GaussianSLAM:
                         self.odometer.step, rgb0, d0,
                         self.dataset.timestamps[frame_id],
                     )
+                # Host numpy: a 4x4 chain is not worth a device round trip.
+                p1 = self.estimated_c2ws[frame_id - 1]
+                p2 = self.estimated_c2ws[frame_id - 2]
                 candidates = {
-                    "const_speed": np.asarray(
-                        const_speed_extrapolate(
-                            jnp.asarray(self.estimated_c2ws[frame_id - 2]),
-                            jnp.asarray(self.estimated_c2ws[frame_id - 1]),
-                        )
-                    ),
-                    "previous": self.estimated_c2ws[frame_id - 1],
+                    "const_speed": p1 @ np.linalg.inv(p2) @ p1,
+                    "previous": p1,
                 }
                 if vo_future is not None:
                     vo_c2w = vo_future.result()

@@ -148,7 +148,10 @@ def eval_init_candidates(
                           cl, dl])
 
     out = jax.lax.map(one, rel_mats)
-    return out[:, 0], out[:, 1], out[:, 2]
+    return out  # (C, 3): total, color, depth — ONE fetch for the caller
+
+
+STAT_NAMES = ("loss", "color_loss", "depth_loss", "iters", "best_iter")
 
 
 class _TrackCarry(NamedTuple):
@@ -278,14 +281,12 @@ def refine_pose(
     )
     final = jax.lax.while_loop(cond, body, init)
     rel = _rel_matrix(final.best_pose)
-    stats = {
-        "loss": final.best_loss,
-        "color_loss": final.best_cl,
-        "depth_loss": final.best_dl,
-        "iters": final.it,
-        "best_iter": final.best_it,
-    }
-    return rel, final.best_pose.exposure, stats
+    # Packed stats (see STAT_NAMES): one array -> one host fetch.
+    stats_vec = jnp.stack([
+        final.best_loss, final.best_cl, final.best_dl,
+        final.it.astype(jnp.float32), final.best_it.astype(jnp.float32),
+    ])
+    return rel, final.best_pose.exposure, stats_vec
 
 
 class Tracker:
@@ -318,14 +319,13 @@ class Tracker:
             ]
         ).astype(np.float32)
 
-        totals, cls, dls = eval_init_candidates(
+        cand = np.asarray(eval_init_candidates(
             params, alive, jnp.asarray(rels), jnp.asarray(last_w2c, dtype=jnp.float32),
             gt_color, gt_depth, self.cam, self.rcfg, self.tcfg,
-        )
-        totals = np.asarray(totals)
-        best = int(np.argmin(totals))
+        ))  # (C, 3), one device round trip
+        best = int(np.argmin(cand[:, 0]))
         self.init_pose_cnt[names[best]] = self.init_pose_cnt.get(names[best], 0) + 1
-        init_cl, init_dl = float(cls[best]), float(dls[best])
+        init_cl, init_dl = float(cand[best, 1]), float(cand[best, 2])
 
         num_iters = self.tcfg.iterations
         if self.frame_color_loss and (
@@ -335,14 +335,17 @@ class Tracker:
             num_iters *= 2
 
         exp0 = jnp.zeros(2) if exposure0 is None else jnp.asarray(exposure0)
-        rel, exposure, stats = refine_pose(
+        rel, exposure, stats_vec = refine_pose(
             params, alive, jnp.asarray(rels[best]),
             jnp.asarray(last_w2c, dtype=jnp.float32), gt_color, gt_depth,
             jnp.asarray(num_iters, jnp.int32), exp0,
             self.cam, self.rcfg, self.tcfg,
         )
-        self.frame_color_loss.append(float(stats["color_loss"]))
-        self.frame_depth_loss.append(float(stats["depth_loss"]))
+        # ONE round trip for everything the host needs this frame.
+        rel, exposure, stats_vec = jax.device_get((rel, exposure, stats_vec))
+        stats = dict(zip(STAT_NAMES, (float(v) for v in stats_vec)))
+        self.frame_color_loss.append(stats["color_loss"])
+        self.frame_depth_loss.append(stats["depth_loss"])
         self.iter_cnt.append(int(stats["iters"]))
 
         w2c = last_w2c @ np.asarray(rel, np.float64)

@@ -64,7 +64,7 @@ def test_refine_pose_recovers_perturbation(rng):
     init_t_err = np.linalg.norm(rel_init[:3, 3])
     assert t_err < 0.4 * init_t_err, (t_err, init_t_err)
     assert r_err < 0.4, r_err
-    assert int(stats["iters"]) > 0
+    assert int(stats[3]) > 0  # iters (tracker.STAT_NAMES)
 
 
 def test_eval_init_candidates_prefers_truth(rng):
@@ -80,9 +80,10 @@ def test_eval_init_candidates_prefers_truth(rng):
     bad = np.asarray(
         se3_exp(jnp.asarray([0.1, 0.1, 0.0, 0.05, 0.0, 0.0])), np.float32
     )
-    totals, _, _ = eval_init_candidates(
+    cand = eval_init_candidates(
         params, alive, jnp.asarray(np.stack([good, bad])),
         jnp.asarray(w2c_true), out.color, gt_depth, CAM, RCFG, TCFG,
     )
+    totals = cand[:, 0]
     totals = np.asarray(totals)
     assert totals[0] < totals[1]
