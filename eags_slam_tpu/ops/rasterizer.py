@@ -837,6 +837,46 @@ def freeze_sorted(
     return FrozenSorted(e3d, seg_start, seg_cnt)
 
 
+def _frozen_sorted_attrs(fs: FrozenSorted, w2c, cam: Camera,
+                         cfg: RasterConfig) -> jnp.ndarray:
+    from .rasterizer_pallas import NCH
+
+    rows = _reproject_rows(fs.e3d, w2c, cam, cfg,
+                           radius_cap=_v2_radius_cap(cfg))
+    n_pad = fs.e3d.shape[1]
+    return jnp.stack(
+        rows + [jnp.zeros((n_pad,), jnp.float32)] * (NCH - len(rows)),
+        axis=0,
+    )
+
+
+def render_frozen_sorted_tiles(
+    fs: FrozenSorted, w2c, tile_ids: jnp.ndarray, cam: Camera,
+    cfg: RasterConfig,
+) -> "TileRender":
+    """Render only `tile_ids` (S,) from a frozen sorted layout.
+
+    Tile-subset tracking fast path: the pose has ~7 DOF, so a subset of
+    information-rich tiles yields nearly the same gradient as the full image
+    at S/T of the kernel cost. Differentiable w.r.t. `w2c` like
+    render_frozen_sorted."""
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    attrs_sorted = _frozen_sorted_attrs(fs, w2c, cam, cfg)
+    tiles_x = -(-cam.width // cfg.tile)
+    out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt,
+                           tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
+                           cfg.group, cfg.bands, cfg.seg_cap)
+    s = tile_ids.shape[0]
+    ts = cfg.tile
+    img = out[:s, :5].reshape(s, 5, ts, ts)
+    return TileRender(
+        color=jnp.transpose(img[:, 0:3], (0, 2, 3, 1)),
+        depth=img[:, 3],
+        alpha=img[:, 4],
+    )
+
+
 def render_frozen_sorted(
     fs: FrozenSorted, w2c, cam: Camera, cfg: RasterConfig
 ) -> RenderOutput:
@@ -844,16 +884,9 @@ def render_frozen_sorted(
 
     Per-iteration work = elementwise reprojection of N sorted gaussians +
     the sorted compositing kernel (which re-ranks depths in VMEM)."""
-    from .rasterizer_pallas import NCH
     from .rasterizer_pallas_v2 import composite_sorted
 
-    rows = _reproject_rows(fs.e3d, w2c, cam, cfg,
-                           radius_cap=_v2_radius_cap(cfg))
-    n_pad = fs.e3d.shape[1]
-    attrs_sorted = jnp.stack(
-        rows + [jnp.zeros((n_pad,), jnp.float32)] * (NCH - len(rows)),
-        axis=0,
-    )
+    attrs_sorted = _frozen_sorted_attrs(fs, w2c, cam, cfg)
     tiles_x = -(-cam.width // cfg.tile)
     tiles_y = -(-cam.height // cfg.tile)
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)

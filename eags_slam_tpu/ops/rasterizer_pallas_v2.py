@@ -110,15 +110,46 @@ def _rank_pass(key, capt):
     return rank
 
 
+def _rank_pass_banded(key, key_ref, start_ref, cnt_ref, t, *, bands,
+                      seg_cap, capt):
+    """Occupancy-bounded rank pass: compare only against the leading
+    ceil((lead_b + cnt_b)/CHUNK) chunks of each band (the rest of the band
+    holds only sentinel keys).
+
+    Exactness: a skipped chunk contributes rank only to other SENTINEL
+    lanes. Every covered lane's key is below every sentinel key, so covered
+    ranks are exact; sentinel lanes keep rank >= n_surv (every covered lane
+    still counts below them), and composite slots >= n_surv are masked by
+    `_chunk_alpha`, so sentinel rank collisions above n_surv are inert.
+    At SLAM-scale occupancy (~25-40% of capt) this cuts the dominant VPU
+    compare cost of the kernel ~2.5-4x."""
+    key_ref[...] = key
+    rank = jnp.zeros((1, capt), jnp.int32)
+    for b in range(bands):
+        start = start_ref[t * bands + b]
+        lead = start - (start // CHUNK) * CHUNK
+        n_lanes = lead + cnt_ref[t * bands + b]
+        n_chunks = (n_lanes + CHUNK - 1) // CHUNK
+
+        def body(ci, r, b=b):
+            off = pl.multiple_of(b * seg_cap + ci * CHUNK, CHUNK)
+            kc = key_ref[0:1, pl.ds(off, CHUNK)]
+            lt = (jnp.transpose(kc) < key).astype(jnp.int32)
+            return r + jnp.sum(lt, axis=0, keepdims=True)
+
+        rank = jax.lax.fori_loop(0, n_chunks, body, rank)
+    return rank
+
+
 def _onehot(rank, base, capt):
     """M[i, j] = 1 iff rank_j == base + i  -> (CHUNK, capt) f32."""
     sel = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base
     return (rank == sel).astype(jnp.float32)
 
 
-def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf, sem,
-                *, tile: int, tiles_x: int, group: int, n_sel: int,
-                bands: int, seg_cap: int):
+def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf,
+                key_ref, sem, *, tile: int, tiles_x: int, group: int,
+                n_sel: int, bands: int, seg_cap: int):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
@@ -161,7 +192,8 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf, sem,
                                  seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
         is_live = s < n_sel
         n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
-        rank = _rank_pass(key, capt)
+        rank = _rank_pass_banded(key, key_ref, start_ref, cnt_ref, tc,
+                                 bands=bands, seg_cap=seg_cap, capt=capt)
 
         pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
         pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
@@ -216,9 +248,9 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf, sem,
 
 
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
-                dout_ref, zeros_in_ref, grad_hbm, buf, gbuf, gtmp, sem, gsem,
-                *, tile: int, tiles_x: int, group: int, n_sel: int,
-                bands: int, seg_cap: int):
+                dout_ref, zeros_in_ref, grad_hbm, buf, gbuf, gtmp, key_ref,
+                sem, gsem, *, tile: int, tiles_x: int, group: int,
+                n_sel: int, bands: int, seg_cap: int):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
@@ -226,25 +258,45 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
     tri = _tri_excl_T(CHUNK)
     tri_s = _tri_suffix_T(CHUNK)
 
+    def tile_of(s):
+        return ids_ref[jnp.minimum(s, n_sel - 1)]
+
+    def start_tile_dmas(slot, s):
+        tc = tile_of(s)
+        for b in range(bands):
+            start = start_ref[tc * bands + b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
+                      seg_cap).start()
+
+    def wait_tile_dmas(slot, s):
+        tc = tile_of(s)
+        for b in range(bands):
+            start = start_ref[tc * bands + b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
+                      seg_cap).wait()
+
+    start_tile_dmas(0, base_t)
+
     def tile_body(g, _):
         s_idx = base_t + g
-        tc = ids_ref[jnp.minimum(s_idx, n_sel - 1)]
-        # Load this tile's bands (synchronous per tile: the rmw of the grad
-        # segments below orders tiles anyway).
-        for b in range(bands):
-            start = start_ref[tc * bands + b]
-            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-            _band_dma(attrs_hbm, buf, sem, al, b, seg_cap).start()
-        for b in range(bands):
-            start = start_ref[tc * bands + b]
-            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-            _band_dma(attrs_hbm, buf, sem, al, b, seg_cap).wait()
+        tc = tile_of(s_idx)
+        slot = g % 2
+        wait_tile_dmas(slot, s_idx)
+        # Prefetch the next tile's bands during this tile's compute + rmw
+        # (attrs_hbm reads never conflict with the grad_hbm rmw below).
+        @pl.when(g + 1 < group)
+        def _():
+            start_tile_dmas((g + 1) % 2, s_idx + 1)
 
-        cover, key = _candidates(start_ref, cnt_ref, buf, tc, bands=bands,
+        bufs = buf[slot]
+        cover, key = _candidates(start_ref, cnt_ref, bufs, tc, bands=bands,
                                  seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
         is_live = s_idx < n_sel
         n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
-        rank = _rank_pass(key, capt)
+        rank = _rank_pass_banded(key, key_ref, start_ref, cnt_ref, tc,
+                                 bands=bands, seg_cap=seg_cap, capt=capt)
 
         pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
         pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
@@ -261,7 +313,7 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             ci, log_t_end, bvec = carry
             M = _onehot(rank, ci * CHUNK, capt)
             e_t = jax.lax.dot_general(
-                buf[:, :], M, (((1,), (1,)), ((), ())),
+                bufs[:, :], M, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv, n_surv - ci * CHUNK,
@@ -363,6 +415,7 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NCH, capt), jnp.float32),
+            pltpu.VMEM((1, capt), jnp.int32),
             pltpu.SemaphoreType.DMA((2, bands)),
         ],
     )
@@ -393,10 +446,11 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),    # grads out
         scratch_shapes=[
-            pltpu.VMEM((NCH, capt), jnp.float32),          # buf
+            pltpu.VMEM((2, NCH, capt), jnp.float32),       # buf (dbl-buf)
             pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
             pltpu.VMEM((NCH, seg_cap), jnp.float32),       # gtmp
-            pltpu.SemaphoreType.DMA((bands,)),
+            pltpu.VMEM((1, capt), jnp.int32),              # key
+            pltpu.SemaphoreType.DMA((2, bands)),
             pltpu.SemaphoreType.DMA,
         ],
     )

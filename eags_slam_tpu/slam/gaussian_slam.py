@@ -375,13 +375,22 @@ class GaussianSLAM:
         The tunneled device link measures ~20 MB/s; a float32 frame pair is
         ~13 MB (~0.6 s). Color travels as uint8 and depth as float16
         (quantization 1/255 and ~0.1% — below sensor noise), expanded to
-        f32 on device; tracker and mapper share the same device arrays
-        instead of re-uploading."""
+        f32 on device; tracker, mapper AND (crop_edge == 0) the VO frontend
+        share the same device arrays instead of re-uploading."""
         c8 = np.clip(np.asarray(color) * 255.0 + 0.5, 0, 255).astype(np.uint8)
         d16 = np.asarray(depth).astype(np.float16)
-        color_dev = jnp.asarray(c8).astype(jnp.float32) / 255.0
+        c8_dev = jnp.asarray(c8)
+        color_dev = c8_dev.astype(jnp.float32) / 255.0
         depth_dev = jnp.asarray(d16).astype(jnp.float32)
-        return color_dev, depth_dev
+        return color_dev, depth_dev, c8_dev
+
+    def _vo_inputs(self, frame_id, c8_dev, depth_dev):
+        """VO frame input: the shared device arrays when the map frame IS
+        the origin frame (crop_edge 0), else the host origin image (the VO
+        tracks the UNCROPPED frame, reference datasets.py:66-76)."""
+        if getattr(self.dataset, "crop_edge", 0) == 0:
+            return c8_dev, depth_dev
+        return self.dataset.get_origin_image(frame_id)
 
     def _apply_lc_corrections(self):
         """Apply pending LC correction transforms to the LIVE pose array.
@@ -403,14 +412,14 @@ class GaussianSLAM:
         t0 = time.perf_counter()
         for frame_id in range(n):
             _, color, depth, gt_pose = self.dataset[frame_id]
-            color_dev, depth_dev = self._upload_frame(color, depth)
+            color_dev, depth_dev, c8_dev = self._upload_frame(color, depth)
 
             t_track = time.perf_counter()
             if frame_id in (0, 1) or self.gt_camera:
                 # Frames 0/1 use GT pose (reference :198-206).
                 self.estimated_c2ws[frame_id] = gt_pose
                 if self.odometer is not None:
-                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
+                    rgb0, d0 = self._vo_inputs(frame_id, c8_dev, depth_dev)
                     if frame_id == 0:
                         self.odometer.set_pose(0, gt_pose)
                     self.odometer.step(rgb0, d0, self.dataset.timestamps[frame_id])
@@ -420,7 +429,7 @@ class GaussianSLAM:
                 # (reference P2: 1-worker future, tracker.py:199-202).
                 vo_future = None
                 if self.odometer is not None:
-                    rgb0, d0 = self.dataset.get_origin_image(frame_id)
+                    rgb0, d0 = self._vo_inputs(frame_id, c8_dev, depth_dev)
                     vo_future = self._vo_pool.submit(
                         self.odometer.step, rgb0, d0,
                         self.dataset.timestamps[frame_id],
@@ -432,10 +441,12 @@ class GaussianSLAM:
                     "const_speed": p1 @ np.linalg.inv(p2) @ p1,
                     "previous": p1,
                 }
+                t_vo = time.perf_counter()
                 if vo_future is not None:
                     vo_c2w = vo_future.result()
                     if frame_id >= 3:
                         candidates["odometer"] = vo_c2w
+                vo_wait_ms = 1e3 * (time.perf_counter() - t_vo)
 
                 # Tracking reads the map but never writes it: hand the
                 # tracker a bucket-compacted view so its render cost scales
@@ -450,6 +461,7 @@ class GaussianSLAM:
                 self.exposures_ab[frame_id] = np.asarray(exposure)
                 if self.odometer is not None:
                     self.odometer.set_pose(frame_id, c2w)
+                stats["vo_wait_ms"] = vo_wait_ms
                 self.logger.log_tracking(
                     frame_id, {k: float(v) for k, v in stats.items()}
                 )

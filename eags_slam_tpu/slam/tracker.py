@@ -28,9 +28,10 @@ from ..core.camera import Camera
 from ..core.gaussians import GaussianParams
 from ..core.se3 import quat_to_rotmat, rotmat_to_quat
 from ..core.sh import sh_to_rgb
-from ..ops.rasterizer import (FrozenBinning, RasterConfig, freeze_binning,
-                              freeze_sorted, render, render_frozen,
-                              render_frozen_sorted)
+from ..ops.rasterizer import (FrozenBinning, RasterConfig, TileRender,
+                              freeze_binning, freeze_sorted, gt_tiles, render,
+                              render_frozen, render_frozen_sorted,
+                              render_frozen_sorted_tiles)
 from ..utils import optim
 
 
@@ -56,6 +57,12 @@ class TrackerConfig(NamedTuple):
     enable_exposure: bool = False
     plateau_patience: int = 5
     plateau_factor: float = 0.5
+    # Tile-subset refinement (sorted backend): refine the pose on the
+    # top-`frac * T` tiles ranked by mapped (alpha^3-weighted) image+depth
+    # gradient energy. The pose has ~7 DOF, so information-rich tiles carry
+    # nearly the full-image gradient at a fraction of the kernel cost;
+    # candidate scoring stays full-image (reference protocol). 0 disables.
+    tile_subset_frac: float = 0.25
 
 
 class PoseParams(NamedTuple):
@@ -73,13 +80,19 @@ def _rel_matrix(p: PoseParams) -> jnp.ndarray:
 
 
 def _losses_from_output(out, pose: PoseParams, gt_color, gt_depth,
-                        tcfg: TrackerConfig):
-    """Masked tracking losses (reference compute_losses tracker.py:69-128)."""
+                        tcfg: TrackerConfig, valid=None):
+    """Masked tracking losses (reference compute_losses tracker.py:69-128).
+
+    Works on full images (H, W, *) or stacked tile subsets (S, ts, ts, *);
+    `valid` (same shape as gt_depth) excludes pixels outside the image on
+    tiles straddling the padded boundary."""
     image = out.color
     if tcfg.enable_exposure:
         image = jnp.clip(jnp.exp(pose.exposure[0]) * image + pose.exposure[1],
                          0.0, 1.0)
     depth_mask = gt_depth > 0.0
+    if valid is not None:
+        depth_mask = depth_mask & valid
     tracking_mask = depth_mask
     if tcfg.filter_alpha:
         tracking_mask = tracking_mask & (out.alpha > tcfg.alpha_thre)
@@ -91,6 +104,8 @@ def _losses_from_output(out, pose: PoseParams, gt_color, gt_depth,
         )
 
     color_px = jnp.abs(image - gt_color) + 1e-8            # (H, W, 3)
+    if valid is not None:
+        color_px = color_px * valid[..., None]
     depth_px = (jnp.abs(out.depth - gt_depth) + 1e-8) * tracking_mask
 
     if tcfg.soft_alpha:
@@ -169,18 +184,16 @@ class _TrackCarry(NamedTuple):
     best_it: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
-def refine_pose(
-    params: GaussianParams, alive, init_rel, last_w2c, gt_color, gt_depth,
-    num_iters, exposure0, cam: Camera, rcfg: RasterConfig, tcfg: TrackerConfig,
+def _make_loss_fn(
+    params: GaussianParams, alive, colors, init_rel, last_w2c, gt_color,
+    gt_depth, cam: Camera, rcfg: RasterConfig, tcfg: TrackerConfig,
+    subset=None,
 ):
-    """Optimize the relative pose; returns (rel_best 4x4, exposure, stats).
+    """Build the refinement loss over the backend-appropriate fast path.
 
-    num_iters is a runtime value (the reference doubles iterations on high
-    init loss, tracker.py:230-242) — a `while_loop` keeps one compilation.
-    """
-    colors = sh_to_rgb(params.f_dc)
-
+    `subset` (tile_ids, gt_c_tiles, gt_d_tiles, in_img) switches the
+    frozen-sorted path to tile-subset rendering (see TrackerConfig
+    .tile_subset_frac)."""
     backend = rcfg.backend
     if backend == "auto":
         backend = "sorted" if jax.default_backend() == "tpu" else "jnp"
@@ -192,12 +205,25 @@ def refine_pose(
                            params.opacity_logits, colors,
                            last_w2c @ init_rel, cam, rcfg, alive=alive)
 
-        def loss_fn(pose: PoseParams):
-            out = render_frozen_sorted(fs, last_w2c @ _rel_matrix(pose),
-                                       cam, rcfg)
-            cl, dl = _losses_from_output(out, pose, gt_color, gt_depth, tcfg)
-            return (tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl,
-                    (cl, dl))
+        if subset is not None:
+            tile_ids, gt_c_t, gt_d_t, in_img = subset
+
+            def loss_fn(pose: PoseParams):
+                out = render_frozen_sorted_tiles(
+                    fs, last_w2c @ _rel_matrix(pose), tile_ids, cam, rcfg
+                )
+                cl, dl = _losses_from_output(out, pose, gt_c_t, gt_d_t, tcfg,
+                                             valid=in_img)
+                return (tcfg.w_color_loss * cl
+                        + (1 - tcfg.w_color_loss) * dl, (cl, dl))
+        else:
+            def loss_fn(pose: PoseParams):
+                out = render_frozen_sorted(fs, last_w2c @ _rel_matrix(pose),
+                                           cam, rcfg)
+                cl, dl = _losses_from_output(out, pose, gt_color, gt_depth,
+                                             tcfg)
+                return (tcfg.w_color_loss * cl
+                        + (1 - tcfg.w_color_loss) * dl, (cl, dl))
     elif tcfg.frozen_binning and backend == "pallas":
         fb = freeze_binning(params.xyz, params.quats, params.log_scales,
                             params.opacity_logits, colors,
@@ -214,7 +240,12 @@ def refine_pose(
                              gt_depth, cam, rcfg, tcfg)
             return (tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl,
                     (cl, dl))
+    return loss_fn
 
+
+def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig):
+    """Pose-refinement while_loop over `loss_fn(PoseParams) -> (total, (cl,
+    dl))`; returns (rel_best 4x4, exposure, stats_vec)."""
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def cond(c: _TrackCarry):
@@ -289,6 +320,128 @@ def refine_pose(
     return rel, final.best_pose.exposure, stats_vec
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
+def refine_pose(
+    params: GaussianParams, alive, init_rel, last_w2c, gt_color, gt_depth,
+    num_iters, exposure0, cam: Camera, rcfg: RasterConfig, tcfg: TrackerConfig,
+):
+    """Optimize the relative pose; returns (rel_best 4x4, exposure, stats).
+
+    num_iters is a runtime value (the reference doubles iterations on high
+    init loss, tracker.py:230-242) — a `while_loop` keeps one compilation.
+    """
+    colors = sh_to_rgb(params.f_dc)
+    loss_fn = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
+                            gt_color, gt_depth, cam, rcfg, tcfg)
+    return _refine(loss_fn, init_rel, num_iters, exposure0, tcfg)
+
+
+def _select_tiles(gt_color, gt_depth, alpha, cam: Camera, ts: int,
+                  tiles_x: int, tiles_y: int, s: int):
+    """Top-`s` tiles by mapped information content.
+
+    Score = alpha^3-weighted image-gradient energy + (capped) depth-gradient
+    energy, plus a small valid-depth bonus: tiles that are both textured and
+    already mapped (high alpha -> pixels survive the tracking mask) carry
+    the pose gradient; flat or unmapped tiles contribute ~nothing."""
+    gray = jnp.mean(gt_color, axis=-1)
+    gx = jnp.diff(gray, axis=1, append=gray[:, -1:])
+    gy = jnp.diff(gray, axis=0, append=gray[-1:, :])
+    dgx = jnp.diff(gt_depth, axis=1, append=gt_depth[:, -1:])
+    dgy = jnp.diff(gt_depth, axis=0, append=gt_depth[-1:, :])
+    energy = (gx * gx + gy * gy
+              + 0.01 * jnp.minimum(dgx * dgx + dgy * dgy, 1.0))
+    energy = energy * jnp.clip(alpha, 0.0, 1.0) ** 3
+    valid = (gt_depth > 0).astype(jnp.float32)
+
+    def tile_sum(x):
+        hp, wp = tiles_y * ts, tiles_x * ts
+        xp = jnp.pad(x, ((0, hp - x.shape[0]), (0, wp - x.shape[1])))
+        return xp.reshape(tiles_y, ts, tiles_x, ts).sum((1, 3)).reshape(-1)
+
+    score = tile_sum(energy * valid) + 1e-4 * tile_sum(valid)
+    _, tile_ids = jax.lax.top_k(score, s)
+    return tile_ids.astype(jnp.int32)
+
+
+def _in_image_mask(tile_ids, ts: int, tiles_x: int, cam: Camera):
+    tx0 = (tile_ids % tiles_x) * ts
+    ty0 = (tile_ids // tiles_x) * ts
+    uu = tx0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[None, None, :]
+    vv = ty0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[None, :, None]
+    return (uu < cam.width) & (vv < cam.height)
+
+
+TRACK_STAT_NAMES = STAT_NAMES + ("best_cand", "init_color_loss",
+                                 "init_depth_loss")
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
+def track_frame(
+    params: GaussianParams, alive, rel_mats, last_w2c, gt_color, gt_depth,
+    med_cl, med_dl, exposure0, cam: Camera, rcfg: RasterConfig,
+    tcfg: TrackerConfig,
+):
+    """Fused per-frame tracking: candidate scoring, adaptive iteration
+    doubling, and refinement in ONE device dispatch (one tunnel round trip —
+    the reference runs these as separate host-driven stages,
+    tracker.py:130-169, 230-242, 258-327).
+
+    Candidate scoring renders full images (reference protocol); the
+    refinement optionally runs on a top-score tile subset (sorted backend,
+    `tcfg.tile_subset_frac`), selected from the best candidate's alpha map.
+    Returns (rel 4x4, exposure, stats_vec of TRACK_STAT_NAMES)."""
+    colors = sh_to_rgb(params.f_dc)
+
+    def cand_one(rel):
+        q = rotmat_to_quat(rel[:3, :3])
+        pose = PoseParams(q, rel[:3, 3], jnp.zeros(2))
+        out = render(params.xyz, params.quats, params.log_scales,
+                     params.opacity_logits, colors,
+                     last_w2c @ _rel_matrix(pose), cam, rcfg, alive=alive)
+        cl, dl = _losses_from_output(out, pose, gt_color, gt_depth, tcfg)
+        tot = tcfg.w_color_loss * cl + (1 - tcfg.w_color_loss) * dl
+        return jnp.stack([tot, cl, dl]), out.alpha
+
+    cand, alphas = jax.lax.map(cand_one, rel_mats)
+    best = jnp.argmin(cand[:, 0])
+    init_rel = rel_mats[best]
+    init_cl, init_dl = cand[best, 1], cand[best, 2]
+    double = (init_cl > tcfg.init_err_ratio * med_cl) | (
+        init_dl > tcfg.init_err_ratio * med_dl
+    )
+    num_iters = jnp.where(double, 2 * tcfg.iterations,
+                          tcfg.iterations).astype(jnp.int32)
+
+    backend = rcfg.backend
+    if backend == "auto":
+        backend = "sorted" if jax.default_backend() == "tpu" else "jnp"
+    ts = rcfg.tile
+    tiles_x = -(-cam.width // ts)
+    tiles_y = -(-cam.height // ts)
+    num_tiles = tiles_x * tiles_y
+    s = int(round(tcfg.tile_subset_frac * num_tiles))
+    subset = None
+    if 0 < s < num_tiles and backend == "sorted" and tcfg.frozen_binning:
+        tile_ids = _select_tiles(gt_color, gt_depth, alphas[best], cam, ts,
+                                 tiles_x, tiles_y, s)
+        gt_c_t = gt_tiles(gt_color, tile_ids, ts, tiles_x, tiles_y)
+        gt_d_t = gt_tiles(gt_depth, tile_ids, ts, tiles_x, tiles_y)
+        in_img = _in_image_mask(tile_ids, ts, tiles_x, cam)
+        subset = (tile_ids, gt_c_t, gt_d_t, in_img)
+
+    loss_fn = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
+                            gt_color, gt_depth, cam, rcfg, tcfg,
+                            subset=subset)
+    rel, exposure, stats_vec = _refine(loss_fn, init_rel, num_iters,
+                                       exposure0, tcfg)
+    stats_vec = jnp.concatenate([
+        stats_vec,
+        jnp.stack([best.astype(jnp.float32), init_cl, init_dl]),
+    ])
+    return rel, exposure, stats_vec
+
+
 class Tracker:
     """Host-side per-frame tracking flow (reference Tracker.track,
     tracker.py:181-348): init-candidate selection, adaptive iteration count,
@@ -308,6 +461,8 @@ class Tracker:
         gt_color, gt_depth, exposure0=None,
     ):
         """Returns (c2w (4,4) np-convertible, exposure, stats dict)."""
+        import time
+
         import numpy as np
 
         last_w2c = np.linalg.inv(np.asarray(last_c2w, np.float64))
@@ -319,31 +474,27 @@ class Tracker:
             ]
         ).astype(np.float32)
 
-        cand = np.asarray(eval_init_candidates(
-            params, alive, jnp.asarray(rels), jnp.asarray(last_w2c, dtype=jnp.float32),
-            gt_color, gt_depth, self.cam, self.rcfg, self.tcfg,
-        ))  # (C, 3), one device round trip
-        best = int(np.argmin(cand[:, 0]))
-        self.init_pose_cnt[names[best]] = self.init_pose_cnt.get(names[best], 0) + 1
-        init_cl, init_dl = float(cand[best, 1]), float(cand[best, 2])
-
-        num_iters = self.tcfg.iterations
-        if self.frame_color_loss and (
-            init_cl > self.tcfg.init_err_ratio * np.median(self.frame_color_loss)
-            or init_dl > self.tcfg.init_err_ratio * np.median(self.frame_depth_loss)
-        ):
-            num_iters *= 2
-
+        # Iteration-doubling thresholds (reference tracker.py:230-242); inf
+        # with no history -> never doubles, matching the reference's guard.
+        med_cl = (np.median(self.frame_color_loss)
+                  if self.frame_color_loss else np.inf)
+        med_dl = (np.median(self.frame_depth_loss)
+                  if self.frame_depth_loss else np.inf)
         exp0 = jnp.zeros(2) if exposure0 is None else jnp.asarray(exposure0)
-        rel, exposure, stats_vec = refine_pose(
-            params, alive, jnp.asarray(rels[best]),
+
+        t0 = time.perf_counter()
+        rel, exposure, stats_vec = track_frame(
+            params, alive, jnp.asarray(rels),
             jnp.asarray(last_w2c, dtype=jnp.float32), gt_color, gt_depth,
-            jnp.asarray(num_iters, jnp.int32), exp0,
+            jnp.float32(med_cl), jnp.float32(med_dl), exp0,
             self.cam, self.rcfg, self.tcfg,
         )
         # ONE round trip for everything the host needs this frame.
         rel, exposure, stats_vec = jax.device_get((rel, exposure, stats_vec))
-        stats = dict(zip(STAT_NAMES, (float(v) for v in stats_vec)))
+        stats = dict(zip(TRACK_STAT_NAMES, (float(v) for v in stats_vec)))
+        stats["track_dispatch_ms"] = 1e3 * (time.perf_counter() - t0)
+        best = int(stats.pop("best_cand"))
+        self.init_pose_cnt[names[best]] = self.init_pose_cnt.get(names[best], 0) + 1
         self.frame_color_loss.append(stats["color_loss"])
         self.frame_depth_loss.append(stats["depth_loss"])
         self.iter_cnt.append(int(stats["iters"]))

@@ -124,8 +124,7 @@ def _fused_track(levels, kf_levels, R0, t0, cam: Camera, cfg: "VOConfig"):
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("cam",))
-def _histogram_voting(
+def _voting_counts(
     past_pts, past_valid, rel_transforms, curr_edges, curr_depth,
     depth_min, depth_max, cam: Camera,
 ):
@@ -156,6 +155,39 @@ def _histogram_voting(
         [jnp.sum(edge_px & (M == i)) for i in range(f + 1)]
     )
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _histogram_voting(
+    past_pts, past_valid, rel_transforms, curr_edges, curr_depth,
+    depth_min, depth_max, cam: Camera,
+):
+    return _voting_counts(past_pts, past_valid, rel_transforms, curr_edges,
+                          curr_depth, depth_min, depth_max, cam)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "hl"))
+def _track_and_vote(
+    levels, kf_levels, R0, t0, past_pts, past_valid, A_kf_past,
+    hist_edges, hist_depth, cam: Camera, cfg: "VOConfig", hl: int,
+):
+    """Fused coarse-to-fine LM + histogram-voting counts at the FINAL pose:
+    one dispatch + one fetch per frame instead of two (each round trip on
+    the tunneled link costs ~35 ms; reference runs these as separate CPU
+    stages, tracker.cpp:357-397 then :120-226).
+
+    A_kf_past[i] = inv(T_w_kf) @ T_w_past_i, so the past->current transform
+    is rel_i = inv(T_kf_cur) @ A_i with T_kf_cur from the LM result."""
+    res = _fused_track(levels, kf_levels, R0, t0, cam, cfg)
+    Rt = res.R.T
+    Tinv = (jnp.eye(4, dtype=jnp.float32)
+            .at[:3, :3].set(Rt).at[:3, 3].set(-Rt @ res.t))
+    rels = jnp.einsum("ij,fjk->fik", Tinv, A_kf_past)
+    counts = _voting_counts(
+        past_pts, past_valid, rels, hist_edges, hist_depth,
+        cfg.depth_min, cfg.depth_max, cam.scaled(hl),
+    )
+    return res, counts
 
 
 @dataclass
@@ -245,27 +277,45 @@ class EdgeVO:
         T[:3, 3] = np.asarray(res.t, np.float64)
         return T, res
 
-    def _needs_new_kf(self, res: LMResult, T_w_cur: np.ndarray,
-                      pyr: FramePyramid) -> bool:
+    def _track_vote(self, kf: _Keyframe, pyr: FramePyramid,
+                    T_kf_cur_init: np.ndarray):
+        """Fused LM track + voting counts: ONE dispatch + ONE fetch.
+
+        The past-cloud stack is padded to a fixed F with valid=False rows so
+        the program traces once (deque fill-up would otherwise retrace)."""
+        F = self.cfg.n_frames_histogram_voting
+        hl = min(self.cfg.histogram_level, self.cfg.levels - 1)
+        lv = pyr.levels[hl]
+        clouds = list(self.past_clouds)
+        pad_pts = clouds[0][0] if clouds else lv.pts
+        pad = (pad_pts, jnp.zeros(pad_pts.shape[:1], bool), np.eye(4))
+        while len(clouds) < F:
+            clouds.append(pad)
+        pts = jnp.stack([c[0] for c in clouds])
+        val = jnp.stack([c[1] for c in clouds])
+        kf_inv = np.linalg.inv(kf.T_w_kf)
+        A = np.stack([kf_inv @ c[2] for c in clouds]).astype(np.float32)
+
+        res, counts = _track_and_vote(
+            tuple((l.pts, l.pts_valid) for l in pyr.levels),
+            tuple((d.gx, d.gy, d.dt) for d in kf.dt_levels),
+            jnp.asarray(T_kf_cur_init[:3, :3], dtype=jnp.float32),
+            jnp.asarray(T_kf_cur_init[:3, 3], dtype=jnp.float32),
+            pts, val, jnp.asarray(A), lv.edges, lv.depth,
+            self.cam, self.cfg, hl,
+        )
+        res, counts = jax.device_get((res, counts))
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(res.R, np.float64)
+        T[:3, 3] = np.asarray(res.t, np.float64)
+        return T, res, np.asarray(counts)
+
+    def _needs_new_kf(self, res: LMResult, counts: np.ndarray) -> bool:
         good, bad = int(res.good), int(res.bad)
         if bad > 0 and good / max(bad, 1) < self.cfg.good_bad_ratio:
             return True
         if len(self.past_clouds) < self.cfg.n_frames_histogram_voting:
             return False
-        hl = min(self.cfg.histogram_level, self.cfg.levels - 1)
-        cam_l = self.cam.scaled(hl)
-        pts = jnp.stack([c[0] for c in self.past_clouds])
-        val = jnp.stack([c[1] for c in self.past_clouds])
-        rels = np.stack(
-            [np.linalg.inv(T_w_cur) @ c[2] for c in self.past_clouds]
-        ).astype(np.float32)
-        counts = np.asarray(
-            _histogram_voting(
-                pts, val, jnp.asarray(rels), pyr.levels[hl].edges,
-                pyr.levels[hl].depth, self.cfg.depth_min, self.cfg.depth_max,
-                cam_l,
-            )
-        )
         w = self.cfg.hist_weights
         overlap = sum(float(counts[i]) * w[min(i, len(w) - 1)]
                       for i in range(1, len(counts)))
@@ -327,10 +377,10 @@ class EdgeVO:
         kf_idx = len(self.keyframes) - 1
         kf = self.keyframes[kf_idx]
         T_kf_cur_init = np.linalg.inv(kf.T_w_kf) @ T_w_init
-        T_kf_cur, res = self._track_against(kf, pyr, T_kf_cur_init)
+        T_kf_cur, res, counts = self._track_vote(kf, pyr, T_kf_cur_init)
 
         T_w_cur = kf.T_w_kf @ T_kf_cur
-        if self._needs_new_kf(res, T_w_cur, pyr) and self.prev_pyramid is not None:
+        if self._needs_new_kf(res, counts) and self.prev_pyramid is not None:
             # Promote the previous frame and re-track (system.cpp:121-140).
             self._promote_keyframe(frame_id - 1, self.prev_pyramid,
                                    self._world_pose(frame_id - 1))

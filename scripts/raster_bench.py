@@ -150,6 +150,33 @@ def main():
     t = amortized(s_fwdbwd, (args[5],), floor=floor)
     print(f"[v2] frozen fwd+bwd:  {t*1e3:8.2f} ms")
 
+    # Tile-subset tracking path (tracker.TrackerConfig.tile_subset_frac).
+    from eags_slam_tpu.ops.rasterizer import render_frozen_sorted_tiles
+
+    tiles_x = -(-w // cfg2.tile)
+    tiles_y = -(-h // cfg2.tile)
+    num_tiles = tiles_x * tiles_y
+    for frac in (0.25, 0.125):
+        s = int(round(frac * num_tiles))
+        tile_ids = jnp.asarray(
+            np.random.default_rng(0).permutation(num_tiles)[:s], jnp.int32
+        )
+
+        def t_fwd(w2c):
+            return render_frozen_sorted_tiles(fs, w2c, tile_ids, cam,
+                                              cfg2).color
+
+        def t_fwdbwd(w2c):
+            def loss(w2c):
+                out = render_frozen_sorted_tiles(fs, w2c, tile_ids, cam, cfg2)
+                return out.color.sum() + out.depth.sum()
+            return jax.grad(loss)(w2c)
+
+        t = amortized(t_fwd, (args[5],), floor=floor)
+        print(f"[v2] frozen tiles {frac:5.3f} fwd:     {t*1e3:8.2f} ms")
+        t = amortized(t_fwdbwd, (args[5],), floor=floor)
+        print(f"[v2] frozen tiles {frac:5.3f} fwd+bwd: {t*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()

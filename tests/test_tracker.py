@@ -67,6 +67,45 @@ def test_refine_pose_recovers_perturbation(rng):
     assert int(stats[3]) > 0  # iters (tracker.STAT_NAMES)
 
 
+def test_track_frame_tile_subset_reduces_pose_error(rng):
+    """Fused track_frame on the sorted backend with tile-subset refinement:
+    candidate selection picks the better init and the subset loss still
+    drives the pose toward truth (image height 40 exercises the padded
+    bottom tile row's in-image masking)."""
+    from eags_slam_tpu.slam.tracker import TRACK_STAT_NAMES, track_frame
+
+    cam = Camera(fx=60.0, fy=60.0, cx=23.5, cy=19.5, width=48, height=40)
+    rcfg = RasterConfig(tile=16, dup_side=4, chunk=16, backend="sorted",
+                        seg_cap=256, bands=3, group=3)
+    tcfg = TrackerConfig(iterations=25, alpha_thre=0.5, early_stop_cnt=60,
+                         tile_subset_frac=0.6, frozen_binning=True)
+    params, alive = _scene(rng, n=300)
+    w2c_true = np.eye(4, dtype=np.float32)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, sh_to_rgb(params.f_dc),
+                 jnp.asarray(w2c_true), cam, rcfg, alive=alive)
+    gt_color = out.color
+    gt_depth = out.depth / jnp.maximum(out.alpha, 1e-6)
+    gt_depth = jnp.where(out.alpha > 0.5, gt_depth, 0.0)
+
+    tau = np.array([0.01, -0.008, 0.006, 0.006, -0.008, 0.005], np.float32)
+    near = np.asarray(se3_exp(jnp.asarray(tau)), np.float32)
+    far = np.asarray(
+        se3_exp(jnp.asarray([0.15, 0.1, 0.0, 0.08, 0.0, 0.0])), np.float32
+    )
+    rel, _, stats_vec = track_frame(
+        params, alive, jnp.asarray(np.stack([far, near])),
+        jnp.asarray(w2c_true), gt_color, gt_depth,
+        jnp.float32(np.inf), jnp.float32(np.inf), jnp.zeros(2),
+        cam, rcfg, tcfg,
+    )
+    rel = np.asarray(rel)
+    stats = dict(zip(TRACK_STAT_NAMES, np.asarray(stats_vec)))
+    assert int(stats["best_cand"]) == 1          # picked the nearby init
+    t_err = np.linalg.norm(rel[:3, 3])
+    assert t_err < 0.6 * np.linalg.norm(near[:3, 3]), t_err
+
+
 def test_eval_init_candidates_prefers_truth(rng):
     params, alive = _scene(rng)
     w2c_true = np.eye(4, dtype=np.float32)
