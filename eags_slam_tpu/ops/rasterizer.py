@@ -611,6 +611,69 @@ def render(
     return RenderOutput(color, depth, alpha, radii)
 
 
+def sorted_layout(means3d, quats, log_scales, opacity_logits, w2c,
+                  cam: Camera, cfg: RasterConfig, alive=None):
+    """Center-tile layout of the CURRENT array order: (order, seg_start,
+    seg_cnt) such that permuting rows by `order` puts them in (center_tile,
+    depth) order for pose `w2c`. Used by the resident-sorted mapping loop
+    (mapper.optimize_submap): params/Adam state are physically permuted once
+    per keyframe block, then `render_sorted_resident` composites with NO
+    per-iteration gather/scatter."""
+    proj = project_gaussians(means3d, quats, log_scales, opacity_logits,
+                             w2c, cam, cfg, alive,
+                             radius_cap=_v2_radius_cap(cfg))
+    return _center_sort(proj, cam, cfg)
+
+
+def render_sorted_resident(
+    means3d, quats, log_scales, opacity_logits, colors, w2c,
+    seg_start, seg_cnt, cam: Camera, cfg: RasterConfig, alive=None,
+) -> RenderOutput:
+    """Render gaussians that are ALREADY stored in center-tile-sorted order
+    for pose `w2c` (see `sorted_layout`). Differentiable w.r.t. every array
+    input; kernel grads arrive directly in the resident order, so the
+    per-iteration N-index gather (fwd) and column scatter-add (bwd) of
+    `render` disappear entirely.
+
+    Exactness: per-iteration projection/coverage/depth-rank are computed from
+    the CURRENT params; only segment membership is frozen — a gaussian whose
+    center drifts outside its init +-r_n tile neighborhood within a block is
+    clipped (same semantics as the tracking FrozenSorted path)."""
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    proj = project_gaussians(means3d, quats, log_scales, opacity_logits,
+                             w2c, cam, cfg, alive,
+                             radius_cap=_v2_radius_cap(cfg))
+    n = means3d.shape[0]
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    from .rasterizer_pallas import NCH
+
+    attrs = jnp.stack(
+        [
+            proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.opacity,
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            proj.depth,
+            jax.lax.stop_gradient(proj.radius),
+        ] + [zeros_n] * (NCH - 11),
+        axis=0,
+    )
+    attrs_sorted = _pad_sorted(attrs, cfg)
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
+                           cfg.tile, tiles_x, cfg.group, cfg.bands,
+                           cfg.seg_cap)
+    color, depth, alpha = _assemble_image(out, cam, cfg)
+    color = color[: cam.height, : cam.width]
+    depth = depth[: cam.height, : cam.width]
+    alpha = alpha[: cam.height, : cam.width]
+    radii = jnp.ceil(proj.radius).astype(jnp.int32)
+    return RenderOutput(color, depth, alpha, radii)
+
+
 # ---------------------------------------------------------------------------
 # Frozen-binning pose refinement (tracking fast path)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ class GaussianSLAM:
             outlier_removal=bool(mc.get("outlier_removal", False)),
             max_keyframes=int(mc.get("max_keyframes", 32)),
             tile_subset=int(mc.get("tile_subset", 0)),
+            kf_block=int(mc.get("kf_block", 10)),
         )
         self.tcfg = TrackerConfig(
             iterations=int(tc["iterations"]),
@@ -135,6 +136,10 @@ class GaussianSLAM:
         import concurrent.futures
 
         self._vo_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # Next-frame host->device upload overlapped with the current frame's
+        # compute (the tunneled device link moves ~20 MB/s; a frame pair is
+        # ~4 MB compressed => ~0.2 s hidden per frame).
+        self._upload_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self.odometer = None
         if self.odometry_type == "odometer" or tc.get(
             "help_camera_initialization", False
@@ -407,12 +412,23 @@ class GaussianSLAM:
             self.estimated_c2ws[start:e] = corr @ self.estimated_c2ws[start:e]
 
     # ------------------------------------------------------------------
+    def _fetch_frame(self, frame_id: int):
+        _, color, depth, gt_pose = self.dataset[frame_id]
+        return self._upload_frame(color, depth) + (gt_pose,)
+
     def run(self) -> Dict:
         n = len(self.dataset)
         t0 = time.perf_counter()
+        next_fut = None
         for frame_id in range(n):
-            _, color, depth, gt_pose = self.dataset[frame_id]
-            color_dev, depth_dev, c8_dev = self._upload_frame(color, depth)
+            if next_fut is None:
+                color_dev, depth_dev, c8_dev, gt_pose = self._fetch_frame(frame_id)
+            else:
+                color_dev, depth_dev, c8_dev, gt_pose = next_fut.result()
+            if frame_id + 1 < n:
+                next_fut = self._upload_pool.submit(
+                    self._fetch_frame, frame_id + 1
+                )
 
             t_track = time.perf_counter()
             if frame_id in (0, 1) or self.gt_camera:
@@ -545,5 +561,6 @@ class GaussianSLAM:
         self.dataset.close()
         self.logger.close()
         self._vo_pool.shutdown(wait=False)
+        self._upload_pool.shutdown(wait=False)
         if self.loop_closer is not None:
             self.loop_closer.shutdown()

@@ -62,6 +62,13 @@ class MapperConfig(NamedTuple):
     # the sorted backend; the gradient is an unbiased estimate of the
     # full-image one (tiles sampled uniformly without replacement).
     tile_subset: int = 0
+    # Resident-sorted mapping (PERF.md roadmap #4): sample a keyframe once
+    # per `kf_block` iterations and keep params + Adam moments physically
+    # permuted in that keyframe's center-tile order for the whole block —
+    # the per-iteration N-index gather (fwd) and column scatter-add (bwd)
+    # vanish; one stacked permute per block amortizes over the block.
+    # 0 disables (per-iteration keyframe sampling, as the reference).
+    kf_block: int = 10
     # 3DGS LRs (reference arguments.py:53-72; xyz schedule barely moves over
     # <=1k submap iters so the initial value is used).
     lr_xyz: float = 1e-4
@@ -272,6 +279,225 @@ def _keyframe_distribution(n_kf, k_max: int, cur_frac: float):
     return p / jnp.sum(p)
 
 
+class _BookState(NamedTuple):
+    """Per-iteration bookkeeping carried by both optimization loops:
+    best-loss EMA, the every-5%-iters best-(params, adam) checkpoint, the
+    prune/rollback flags and the post-prune early-stop counter (reference
+    mapper.py:181-198)."""
+
+    best_loss: jnp.ndarray
+    ema: jnp.ndarray
+    ckpt_opt: OptimizedParams
+    ckpt_adam: optim.AdamState
+    has_ckpt: jnp.ndarray
+    early_cnt: jnp.ndarray
+    stopped: jnp.ndarray
+
+
+def _book_step(book: _BookState, it, total, opt, adam, alive, *,
+               pruning_thre, ckpt_every, early_thre, prune_iters, ema_beta):
+    """One bookkeeping step on POST-update (opt, adam): checkpoint every 5%
+    iters, prune (+rollback-on-bad) at 30%/60%, early-stop counting after the
+    last prune. Returns (book', opt', adam', alive')."""
+    ema = jnp.where(it == 0, total, ema_beta * book.ema + (1 - ema_beta) * total)
+
+    # Checkpoint best state every 5% iters (reference :192-198).
+    is_ckpt_iter = (it % ckpt_every == 0) & (it != 0)
+    improved = ema < book.best_loss
+    take = is_ckpt_iter & improved
+    ckpt_opt = jax.tree.map(lambda n, o: jnp.where(take, n, o), opt,
+                            book.ckpt_opt)
+    ckpt_adam = jax.tree.map(lambda n, o: jnp.where(take, n, o), adam,
+                             book.ckpt_adam)
+    best_loss = jnp.where(take, ema, book.best_loss)
+    has_ckpt = book.has_ckpt | take
+
+    # Prune (+ rollback to checkpoint when the prune-time loss is worse).
+    is_prune = (it == prune_iters[0]) | (it == prune_iters[1])
+    rollback = is_prune & has_ckpt & (best_loss < ema)
+    opt = jax.tree.map(lambda ck, o: jnp.where(rollback, ck, o), ckpt_opt, opt)
+    adam = jax.tree.map(lambda ck, a: jnp.where(rollback, ck, a), ckpt_adam,
+                        adam)
+    kill = is_prune & alive & (
+        jax.nn.sigmoid(opt.opacity_logits[:, 0]) < pruning_thre
+    )
+    alive = alive & ~kill
+    best_loss = jnp.where(is_prune, jnp.inf, best_loss)
+    has_ckpt = has_ckpt & ~is_prune
+
+    # Early stop after the last prune (reference :181-190).
+    after = it > prune_iters[1]
+    bad = after & has_ckpt & (ema - best_loss > 0.15 * best_loss)
+    early_cnt = jnp.where(bad, book.early_cnt + 1, 0)
+    stopped = book.stopped | (early_cnt > early_thre)
+
+    new_book = _BookState(best_loss, ema, ckpt_opt, ckpt_adam, has_ckpt,
+                          early_cnt, stopped)
+    return new_book, opt, adam, alive
+
+
+def _permute_rows(trees, order):
+    """Permute the leading axis of every leaf in `trees` (a tuple of pytrees
+    whose leaves are all (N, ...)) by `order`, using ONE N-index gather:
+    leaves flatten to (N, ch) blocks, concatenate, row-gather, split back.
+    Gathers on this TPU cost per-INDEX (PERF.md), so one stacked gather beats
+    a dozen per-leaf gathers ~12x."""
+    leaves, treedef = jax.tree_util.tree_flatten(trees)
+    n = leaves[0].shape[0]
+    cols = [l.reshape(n, -1).astype(jnp.float32) for l in leaves]
+    widths = [c.shape[1] for c in cols]
+    big = jnp.concatenate(cols, axis=1)[order]
+    outs = []
+    off = 0
+    for l, w in zip(leaves, widths):
+        outs.append(big[:, off:off + w].reshape(l.shape).astype(l.dtype))
+        off += w
+    return jax.tree_util.tree_unflatten(treedef, outs)
+
+
+def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
+                       p_kf, lr_tree, book_step, opt0, book0, losses0):
+    """Keyframe-blocked resident-sorted optimization (PERF.md roadmap #4).
+
+    Samples a keyframe once per `mcfg.kf_block` iterations; at each block
+    boundary the trainable params, Adam moments, checkpoint trees, colors and
+    alive mask are physically permuted into that keyframe's (center_tile,
+    depth) order (one stacked N-index gather), after which every iteration
+    in the block renders via `render_sorted_resident` with ZERO per-iteration
+    gather/scatter — kernel gradients arrive already in the resident order.
+
+    Deviations from the reference schedule (src/entities/mapper.py:143-214),
+    both documented in PERF.md: (a) the keyframe is re-sampled every
+    kf_block-th iteration instead of every iteration (same marginal
+    distribution, block-correlated draws); (b) early stop exits at block
+    granularity. Segment membership is frozen within a block (drift-clipping
+    semantics of ops.rasterizer.render_sorted_resident).
+    """
+    from ..ops.rasterizer import render_sorted_resident, sorted_layout
+
+    r_block = int(mcfg.kf_block)
+    n = state.alive.shape[0]
+
+    def loss_fn(opt: OptimizedParams, f_dc, alive, kidx, seg_start, seg_cnt):
+        gt_color = kfs.color[kidx]
+        gt_depth = kfs.depth[kidx]
+        w2c = kfs.w2c[kidx]
+        exp_a, exp_b = kfs.exposure[kidx, 0], kfs.exposure[kidx, 1]
+        out = render_sorted_resident(
+            opt.xyz, opt.quats, opt.log_scales, opt.opacity_logits,
+            sh_to_rgb(f_dc), w2c, seg_start, seg_cnt, cam, rcfg, alive=alive,
+        )
+        image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
+        mask = (gt_depth > 0) & ~jnp.isnan(out.depth)
+        m3 = mask[..., None].astype(image.dtype)
+        color_l1 = masked_l1(image, gt_color, jnp.tile(m3, (1, 1, 3)))
+        color_loss = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
+            1.0 - ssim(image, gt_color)
+        )
+        depth_loss = masked_l1(out.depth, gt_depth, mask.astype(image.dtype))
+        reg = isotropic_loss(opt.log_scales, alive)
+        total = color_loss + depth_loss + reg
+        return total, (color_loss, depth_loss)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    class RCarry(NamedTuple):
+        it: jnp.ndarray
+        perm: jnp.ndarray       # (N,) canonical index of each current row
+        opt: OptimizedParams
+        adam: optim.AdamState
+        f_dc: jnp.ndarray
+        alive: jnp.ndarray
+        book: _BookState
+        key: jax.Array
+        losses: jnp.ndarray
+
+    def block(c: RCarry):
+        key, k_sel = jax.random.split(c.key)
+        it0 = c.it
+        kidx = jnp.where(
+            it0 < 5, 0, jax.random.categorical(k_sel, jnp.log(p_kf + 1e-12))
+        ).astype(jnp.int32)
+        w2c = kfs.w2c[kidx]
+
+        # Re-sort the CURRENT layout for this keyframe and permute all
+        # per-row state into it (adam.step / ckpt_adam.step are scalars and
+        # stay outside the permute).
+        order, seg_start, seg_cnt = sorted_layout(
+            c.opt.xyz, c.opt.quats, c.opt.log_scales, c.opt.opacity_logits,
+            w2c, cam, rcfg, alive=c.alive,
+        )
+        (opt, mu, nu, vmax, ck_opt, ck_mu, ck_nu, ck_vmax, f_dc, alive,
+         perm) = _permute_rows(
+            (c.opt, c.adam.mu, c.adam.nu, c.adam.vmax, c.book.ckpt_opt,
+             c.book.ckpt_adam.mu, c.book.ckpt_adam.nu, c.book.ckpt_adam.vmax,
+             c.f_dc, c.alive, c.perm),
+            order,
+        )
+        adam = optim.AdamState(c.adam.step, mu, nu, vmax)
+        book = c.book._replace(
+            ckpt_opt=ck_opt,
+            ckpt_adam=optim.AdamState(c.book.ckpt_adam.step, ck_mu, ck_nu,
+                                      ck_vmax),
+        )
+
+        def iter_body(i, ic):
+            it, opt, adam, alive, book, losses = ic
+            (total, (cl, dl)), grads = grad_fn(opt, f_dc, alive, kidx,
+                                               seg_start, seg_cnt)
+            gmask = alive.astype(jnp.float32)
+            grads = jax.tree.map(
+                lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)),
+                grads,
+            )
+            new_opt, new_adam = optim.adam_update(adam, opt, grads, lr_tree)
+            book, opt, adam, alive = book_step(book, it, total, new_opt,
+                                               new_adam, alive)
+            losses = losses.at[it].set(jnp.stack([total, cl, dl]))
+            return (it + 1, opt, adam, alive, book, losses)
+
+        n_it = jnp.minimum(r_block, iterations - it0)
+        it, opt, adam, alive, book, losses = jax.lax.fori_loop(
+            0, n_it, iter_body, (it0, opt, adam, alive, book, c.losses)
+        )
+        return RCarry(it, perm, opt, adam, f_dc, alive, book, key, losses)
+
+    init = RCarry(
+        it=jnp.zeros((), jnp.int32),
+        perm=jnp.arange(n, dtype=jnp.int32),
+        opt=opt0,
+        adam=state.adam,
+        f_dc=frozen.f_dc,
+        alive=state.alive,
+        book=book0,
+        key=key,
+        losses=losses0,
+    )
+    final = jax.lax.while_loop(
+        lambda c: (c.it < iterations) & ~c.book.stopped, block, init
+    )
+
+    # Un-permute back to canonical order: inverse permutation via one sort
+    # (scatters are the expensive orientation on this TPU), then one stacked
+    # gather.
+    _, inv = jax.lax.sort(
+        (final.perm, jnp.arange(n, dtype=jnp.int32)), dimension=0, num_keys=1
+    )
+    (opt, mu, nu, vmax, ck_opt, ck_mu, ck_nu, ck_vmax, alive) = _permute_rows(
+        (final.opt, final.adam.mu, final.adam.nu, final.adam.vmax,
+         final.book.ckpt_opt, final.book.ckpt_adam.mu,
+         final.book.ckpt_adam.nu, final.book.ckpt_adam.vmax, final.alive),
+        inv,
+    )
+    adam = optim.AdamState(final.adam.step, mu, nu, vmax)
+    book = final.book._replace(
+        ckpt_opt=ck_opt,
+        ckpt_adam=optim.AdamState(final.book.ckpt_adam.step, ck_mu, ck_nu,
+                                  ck_vmax),
+    )
+    return opt, adam, alive, book, final.it, final.losses
+
+
 @functools.partial(
     jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg", "mesh"))
 def optimize_submap(
@@ -426,134 +652,114 @@ def optimize_submap(
     # and the noise trips the 15% early-stop band constantly).
     ema_beta = 0.8 if use_subset else 0.0
 
-    class Carry(NamedTuple):
-        it: jnp.ndarray
-        opt: OptimizedParams
-        adam: optim.AdamState
-        alive: jnp.ndarray
-        best_loss: jnp.ndarray
-        ema: jnp.ndarray
-        ckpt_opt: OptimizedParams
-        ckpt_adam: optim.AdamState
-        has_ckpt: jnp.ndarray
-        early_cnt: jnp.ndarray
-        stopped: jnp.ndarray
-        key: jax.Array
-        losses: jnp.ndarray
+    def book_step(book: _BookState, it, total, opt, adam, alive):
+        """Shared per-iteration bookkeeping (see _BookState)."""
+        return _book_step(book, it, total, opt, adam, alive,
+                          pruning_thre=mcfg.pruning_thre,
+                          ckpt_every=ckpt_every, early_thre=early_thre,
+                          prune_iters=prune_iters, ema_beta=ema_beta)
 
-    def step(c: Carry, it):
-        key, k_sel, k_tiles = jax.random.split(c.key, 3)
-        del it  # while_loop carries its own counter
-        it = c.it
-        kidx = jnp.where(
-            it < 5, 0, jax.random.categorical(k_sel, jnp.log(p_kf + 1e-12))
-        ).astype(jnp.int32)
-        if use_subset:
-            tile_ids = jax.random.permutation(k_tiles, num_tiles)[:n_sub]
-            tile_ids = tile_ids.astype(jnp.int32)
-        else:
-            tile_ids = None
-        if n_dev > 1:
-            kidxs = jnp.where(
-                it < 5,
-                jnp.zeros((n_dev,), jnp.int32),
-                jax.random.categorical(
-                    k_sel, jnp.log(p_kf + 1e-12), shape=(n_dev,)
-                ).astype(jnp.int32),
-            )
-            (total, (cl, dl)), grads = grad_fn_dp(c.opt, c.alive, kidxs)
-        else:
-            (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx, tile_ids)
-        ema = jnp.where(it == 0, total, ema_beta * c.ema + (1 - ema_beta) * total)
-        gmask = c.alive.astype(jnp.float32)
-        grads = jax.tree.map(
-            lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
-        )
-        do_update = jnp.array(True)  # early stop EXITS the loop now
-        new_opt, new_adam = optim.adam_update(c.adam, c.opt, grads, lr_tree)
-        opt = jax.tree.map(
-            lambda n, o: jnp.where(do_update, n, o), new_opt, c.opt
-        )
-        adam = jax.tree.map(
-            lambda n, o: jnp.where(do_update, n, o), new_adam, c.adam
-        )
-
-        # Checkpoint best state every 5% iters (reference :192-198).
-        is_ckpt_iter = (it % ckpt_every == 0) & (it != 0)
-        improved = ema < c.best_loss
-        take = is_ckpt_iter & improved & do_update
-        ckpt_opt = jax.tree.map(lambda n, o: jnp.where(take, n, o), opt, c.ckpt_opt)
-        ckpt_adam = jax.tree.map(
-            lambda n, o: jnp.where(take, n, o), adam, c.ckpt_adam
-        )
-        best_loss = jnp.where(take, ema, c.best_loss)
-        has_ckpt = c.has_ckpt | take
-
-        # Prune (+ rollback to checkpoint when the prune-time loss is worse).
-        is_prune = (it == prune_iters[0]) | (it == prune_iters[1])
-        rollback = is_prune & has_ckpt & (best_loss < ema)
-        opt = jax.tree.map(lambda ck, o: jnp.where(rollback, ck, o), ckpt_opt, opt)
-        adam = jax.tree.map(
-            lambda ck, a: jnp.where(rollback, ck, a), ckpt_adam, adam
-        )
-        kill = is_prune & c.alive & (
-            jax.nn.sigmoid(opt.opacity_logits[:, 0]) < mcfg.pruning_thre
-        )
-        alive = c.alive & ~kill
-        best_loss = jnp.where(is_prune, jnp.inf, best_loss)
-        has_ckpt = has_ckpt & ~is_prune
-
-        # Early stop after the last prune (reference :181-190).
-        after = it > prune_iters[1]
-        bad = after & has_ckpt & (ema - best_loss > 0.15 * best_loss)
-        early_cnt = jnp.where(bad, c.early_cnt + 1, 0)
-        stopped = c.stopped | (early_cnt > early_thre)
-
-        losses = c.losses.at[it].set(jnp.stack([total, cl, dl]))
-        return Carry(it + 1, opt, adam, alive, best_loss, ema, ckpt_opt,
-                     ckpt_adam, has_ckpt, early_cnt, stopped, key, losses)
-
+    resident = (backend == "sorted" and mesh is None and not use_subset
+                and mcfg.kf_block > 0)
     opt0 = _split(state.params)
-    init = Carry(
-        it=jnp.zeros((), jnp.int32),
-        opt=opt0,
-        # Moments persist across map() calls within a submap (the reference
-        # keeps one torch optimizer per submap; new rows were zeroed by
-        # `insert`).
-        adam=state.adam,
-        alive=state.alive,
+    book0 = _BookState(
         best_loss=jnp.array(jnp.inf),
         ema=jnp.array(jnp.inf),
         ckpt_opt=opt0,
+        # Moments persist across map() calls within a submap (the reference
+        # keeps one torch optimizer per submap; new rows were zeroed by
+        # `insert`).
         ckpt_adam=state.adam,
         has_ckpt=jnp.array(False),
         early_cnt=jnp.zeros((), jnp.int32),
         stopped=jnp.array(False),
-        key=key,
-        # Unvisited slots keep the last visited loss (forward-filled below).
-        losses=jnp.zeros((iterations, 3)),
     )
-    # A while_loop EXITS on early stop (the reference breaks; the previous
-    # scan kept rendering with frozen params, paying full iteration cost).
-    final = jax.lax.while_loop(
-        lambda c: (c.it < iterations) & ~c.stopped,
-        lambda c: step(c, None),
-        init,
-    )
+    losses0 = jnp.zeros((iterations, 3))
+
+    if resident:
+        final_opt, final_adam, final_alive, final_book, final_it, losses = (
+            _optimize_resident(
+                state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
+                p_kf, lr_tree, book_step, opt0, book0, losses0,
+            )
+        )
+    else:
+        class Carry(NamedTuple):
+            it: jnp.ndarray
+            opt: OptimizedParams
+            adam: optim.AdamState
+            alive: jnp.ndarray
+            book: _BookState
+            key: jax.Array
+            losses: jnp.ndarray
+
+        def step(c: Carry):
+            key, k_sel, k_tiles = jax.random.split(c.key, 3)
+            it = c.it
+            kidx = jnp.where(
+                it < 5, 0, jax.random.categorical(k_sel, jnp.log(p_kf + 1e-12))
+            ).astype(jnp.int32)
+            if use_subset:
+                tile_ids = jax.random.permutation(k_tiles, num_tiles)[:n_sub]
+                tile_ids = tile_ids.astype(jnp.int32)
+            else:
+                tile_ids = None
+            if n_dev > 1:
+                kidxs = jnp.where(
+                    it < 5,
+                    jnp.zeros((n_dev,), jnp.int32),
+                    jax.random.categorical(
+                        k_sel, jnp.log(p_kf + 1e-12), shape=(n_dev,)
+                    ).astype(jnp.int32),
+                )
+                (total, (cl, dl)), grads = grad_fn_dp(c.opt, c.alive, kidxs)
+            else:
+                (total, (cl, dl)), grads = grad_fn(c.opt, c.alive, kidx, tile_ids)
+            gmask = c.alive.astype(jnp.float32)
+            grads = jax.tree.map(
+                lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+            )
+            new_opt, new_adam = optim.adam_update(c.adam, c.opt, grads, lr_tree)
+            book, opt, adam, alive = book_step(
+                c.book, it, total, new_opt, new_adam, c.alive
+            )
+            losses = c.losses.at[it].set(jnp.stack([total, cl, dl]))
+            return Carry(it + 1, opt, adam, alive, book, key, losses)
+
+        init = Carry(
+            it=jnp.zeros((), jnp.int32),
+            opt=opt0,
+            adam=state.adam,
+            alive=state.alive,
+            book=book0,
+            key=key,
+            # Unvisited slots keep the last visited loss (forward-filled below).
+            losses=losses0,
+        )
+        # A while_loop EXITS on early stop (the reference breaks; the previous
+        # scan kept rendering with frozen params, paying full iteration cost).
+        final = jax.lax.while_loop(
+            lambda c: (c.it < iterations) & ~c.book.stopped,
+            step,
+            init,
+        )
+        final_opt, final_adam, final_alive = final.opt, final.adam, final.alive
+        final_book, final_it, losses = final.book, final.it, final.losses
+
     # Forward-fill the tail of the loss log with the last real entry.
-    last = final.losses[jnp.maximum(final.it - 1, 0)]
+    last = losses[jnp.maximum(final_it - 1, 0)]
     it_idx = jnp.arange(iterations)[:, None]
-    losses = jnp.where(it_idx < final.it, final.losses, last[None, :])
+    losses = jnp.where(it_idx < final_it, losses, last[None, :])
 
     # Final rollback + prune < 0.01 (reference :216-223).
-    roll = final.has_ckpt & (final.best_loss < final.ema)
+    roll = final_book.has_ckpt & (final_book.best_loss < final_book.ema)
     opt = jax.tree.map(
-        lambda ck, o: jnp.where(roll, ck, o), final.ckpt_opt, final.opt
+        lambda ck, o: jnp.where(roll, ck, o), final_book.ckpt_opt, final_opt
     )
     adam = jax.tree.map(
-        lambda ck, a: jnp.where(roll, ck, a), final.ckpt_adam, final.adam
+        lambda ck, a: jnp.where(roll, ck, a), final_book.ckpt_adam, final_adam
     )
-    alive = final.alive & (jax.nn.sigmoid(opt.opacity_logits[:, 0]) >= 0.01)
+    alive = final_alive & (jax.nn.sigmoid(opt.opacity_logits[:, 0]) >= 0.01)
     new_state = GaussianState(
         params=_merge(frozen, opt), alive=alive, adam=adam
     )

@@ -1,0 +1,151 @@
+"""Amortized micro-benchmark of the MAPPING iteration on the real TPU.
+
+Decomposes the ~per-iteration cost of `optimize_submap` at bench scale
+(262k gaussians, 1200x680): regular path (per-iteration center sort +
+N-gather fwd + column scatter-add bwd) vs the resident-sorted path
+(PERF.md roadmap #4), plus the loss-side cost (ssim & friends) in isolation.
+
+Usage (from /root/repo, nothing else using the TPU):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/map_bench.py [n] [iters]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_scene(n, h, w, seed=0):
+    from eags_slam_tpu.core.camera import Camera
+
+    rng = np.random.default_rng(seed)
+    cam = Camera(fx=600.0, fy=600.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
+                 width=w, height=h)
+    means = np.stack(
+        [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(0.5, 6, n)],
+        axis=-1,
+    ).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    log_scales = np.log(rng.uniform(0.005, 0.03, (n, 3))).astype(np.float32)
+    opac = rng.uniform(0.5, 3.0, (n, 1)).astype(np.float32)
+    f_dc = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    return cam, (jnp.asarray(means), jnp.asarray(quats),
+                 jnp.asarray(log_scales), jnp.asarray(opac),
+                 jnp.asarray(f_dc))
+
+
+def measure_floor():
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.ones((8, 128))
+    _ = float(f(x).sum())
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(f(x).sum())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def timed(fn, reps=3):
+    _ = fn()  # warm/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    h, w = 680, 1200
+
+    from eags_slam_tpu.core import gaussians as G
+    from eags_slam_tpu.ops.rasterizer import RasterConfig
+    from eags_slam_tpu.slam import mapper as M
+
+    cam, (means, quats, log_scales, opac, f_dc) = make_scene(n, h, w)
+    rcfg = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
+                        seg_cap=1024, bands=3)
+    floor = measure_floor()
+    print(f"backend={jax.default_backend()} n={n} {w}x{h} iters={iters} "
+          f"floor={floor*1e3:.1f}ms")
+
+    # Build a GaussianState + 4-keyframe batch (distinct poses).
+    state = G.empty_state(n)
+    params = state.params._replace(
+        xyz=means, f_dc=f_dc, log_scales=log_scales, quats=quats,
+        opacity_logits=opac,
+    )
+    state = G.GaussianState(params, jnp.ones((n,), bool), state.adam)
+
+    rng = np.random.default_rng(1)
+    kfs = M.empty_keyframes(8, cam)
+    for k in range(4):
+        c = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        d = jnp.asarray(rng.uniform(1.0, 5.0, (h, w)).astype(np.float32))
+        w2c = jnp.eye(4)
+        kfs = M.push_keyframe(kfs, k, c, d, w2c, jnp.zeros(2))
+    jax.block_until_ready(kfs.color)
+
+    key = jax.random.PRNGKey(0)
+
+    def opt_time(mcfg, label):
+        def run():
+            out, aux = M.optimize_submap(state, kfs, jnp.asarray(4, jnp.int32),
+                                         key, iters, cam, rcfg, mcfg)
+            # Honest fetch: pull a value that depends on the whole scan.
+            return float(jnp.sum(aux["losses"]))
+
+        t = timed(run)
+        per = (t - floor) / iters
+        print(f"[{label}] total {t*1e3:8.1f} ms  per-iter {per*1e3:7.2f} ms")
+        return per
+
+    base = M.MapperConfig(max_keyframes=8)
+    opt_time(base._replace(kf_block=0), "regular  kf_block=0 ")
+    opt_time(base._replace(kf_block=5), "resident kf_block=5 ")
+    opt_time(base._replace(kf_block=10), "resident kf_block=10")
+    opt_time(base._replace(kf_block=20), "resident kf_block=20")
+
+    # Loss-side cost in isolation: ssim fwd+bwd at frame size.
+    from eags_slam_tpu.ops.losses import masked_l1, ssim
+
+    img1 = kfs.color[0]
+    img2 = kfs.color[1]
+
+    def ssim_fb():
+        def f(a):
+            return 1.0 - ssim(a, img2)
+        g = jax.grad(f)(img1)
+        return float(g[0, 0, 0])
+
+    def many(fn, reps=20):
+        t0 = timed(fn)
+        return t0  # fn itself loops? keep simple: single dispatch & subtract floor
+
+    t = timed(ssim_fb)
+    print(f"[loss] ssim fwd+bwd single dispatch: {(t-floor)*1e3:7.2f} ms")
+
+    def l1_fb():
+        def f(a):
+            m = (img2[..., 0] > 0.2)[..., None].astype(a.dtype)
+            return masked_l1(a, img2, jnp.tile(m, (1, 1, 3)))
+        g = jax.grad(f)(img1)
+        return float(g[0, 0, 0])
+
+    t = timed(l1_fb)
+    print(f"[loss] masked_l1 fwd+bwd single dispatch: {(t-floor)*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
