@@ -72,6 +72,8 @@ class LoopClosure:
         self.output_path = output_path
         self.cam = cam
         self.dataset = dataset
+        self.verbose = bool(config.get("verbose", False))
+        self._pgo_count = 0
         self.rcfg = RasterConfig(
             tile=16, dup_side=4,
             tile_capacity=int(config["mapping"].get("tile_capacity", 1024)),
@@ -338,7 +340,107 @@ class LoopClosure:
             ),
             np.float64,
         )
+        self._pgo_count += 1
+        if self.verbose:
+            self._analyse_pgo(anchors, corrected, edges_ij, edges_T,
+                              edges_is_loop, twc)
         self._apply_corrections(anchors, corrected, twc)
+
+    # ------------------------------------------------------------------
+    def _analyse_pgo(self, anchors, corrected, edges_ij, edges_T,
+                     edges_is_loop, twc):
+        """PGO analysis artifacts (reference analyse_pgo, lc.py:333-444):
+        per-edge rotation/translation errors vs GT (odometry vs loop),
+        anchor-trajectory ATE before/after the correction, and the two
+        edge-error bar plots. Verbose-gated; never raises."""
+        try:
+            import json
+
+            out_dir = os.path.join(self.output_path, "pgo",
+                                   str(self._pgo_count))
+            os.makedirs(out_dir, exist_ok=True)
+            gt = None
+            if self.dataset is not None and getattr(self.dataset, "poses",
+                                                    None) is not None:
+                gt = [np.asarray(
+                    self.dataset.poses[int(info.submap.kf_id)],
+                    np.float64) for info in self.infos]
+
+            def rot_deg(R):
+                c = (np.trace(R) - 1.0) / 2.0
+                return float(np.degrees(np.arccos(min(max(c, -1.0), 1.0))))
+
+            edges = []
+            for (i, j), Z, is_loop in zip(edges_ij, edges_T, edges_is_loop):
+                e = {"i": int(i), "j": int(j),
+                     "type": "loop" if is_loop else "odometry"}
+                if gt is not None:
+                    Z_gt = np.linalg.inv(gt[i]) @ gt[j]
+                    E = np.linalg.inv(np.asarray(Z, np.float64)) @ Z_gt
+                    e["rot_err_deg"] = rot_deg(E[:3, :3])
+                    e["trans_err_cm"] = float(
+                        100.0 * np.linalg.norm(E[:3, 3]))
+                edges.append(e)
+
+            report = {"edges": edges}
+            if gt is not None:
+                gt_t = np.stack([g[:3, 3] for g in gt])
+
+                def ate(poses):
+                    est = np.stack([p[:3, 3] for p in poses])
+                    # Horn-free anchor ATE: both chains share node 0.
+                    return float(np.sqrt(np.mean(
+                        np.sum((est - gt_t) ** 2, axis=1))))
+
+                report["anchor_ate_before_m"] = ate(list(anchors))
+                report["anchor_ate_after_m"] = ate(list(corrected))
+            with open(os.path.join(out_dir, "pgo_analysis.json"), "w") as f:
+                json.dump(report, f, indent=2)
+
+            if gt is not None:
+                self._edge_error_plots(edges, out_dir)
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            import warnings
+
+            warnings.warn(f"pgo analysis failed: {exc}")
+
+    @staticmethod
+    def _edge_error_plots(edges, out_dir):  # pragma: no cover - viz only
+        """Bar plots of per-edge rotation / translation errors with medians
+        (reference lc.py:373-444, submap_all_edge_{ae,te}.png)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        for key, unit, fname in (
+            ("rot_err_deg", "degrees", "submap_all_edge_ae.png"),
+            ("trans_err_cm", "cm", "submap_all_edge_te.png"),
+        ):
+            odo = [e[key] for e in edges if e["type"] == "odometry"
+                   and key in e]
+            loop = [e[key] for e in edges if e["type"] == "loop" and key in e]
+            if not odo and not loop:
+                continue
+            fig, ax = plt.subplots(figsize=(12, 6))
+            vals = odo + loop
+            colors = ["tab:blue"] * len(odo) + ["tab:orange"] * len(loop)
+            ax.bar(range(len(vals)), vals, color=colors)
+            if odo:
+                ax.axhline(np.median(odo), color="tab:blue", ls="--",
+                           label=f"median odometry: {np.median(odo):.2f}")
+            if loop:
+                ax.axhline(np.median(loop), color="tab:orange", ls="--",
+                           label=f"median loop: {np.median(loop):.2f}")
+            ax.set_xlabel("edges (odometry then loop)")
+            ax.set_ylabel(f"error ({unit})")
+            ax.set_title("Odometry and loop-closure edge errors vs GT")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, fname), dpi=80)
+            plt.close(fig)
 
     def _apply_corrections(self, anchors: np.ndarray, corrected: np.ndarray,
                            twc: np.ndarray):

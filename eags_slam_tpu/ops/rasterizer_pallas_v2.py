@@ -147,8 +147,8 @@ def _onehot(rank, base, capt):
     return (rank == sel).astype(jnp.float32)
 
 
-def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf,
-                key_ref, sem, *, tile: int, tiles_x: int, group: int,
+def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
+                buf, key_ref, sem, *, tile: int, tiles_x: int, group: int,
                 n_sel: int, bands: int, seg_cap: int):
     px = tile * tile
     capt = bands * seg_cap
@@ -194,6 +194,9 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf,
         n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
         rank = _rank_pass_banded(key, key_ref, start_ref, cnt_ref, tc,
                                  bands=bands, seg_cap=seg_cap, capt=capt)
+        # Persist the rank for the backward replay: recomputing it there
+        # (candidates + banded rank pass) was the dominant bwd cost.
+        rank_ref[pl.ds(g, 1)] = rank
 
         pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
         pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
@@ -248,8 +251,8 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, buf,
 
 
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
-                dout_ref, zeros_in_ref, grad_hbm, buf, gbuf, gtmp, key_ref,
-                sem, gsem, *, tile: int, tiles_x: int, group: int,
+                rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, gbuf,
+                gtmp, sem, gsem, *, tile: int, tiles_x: int, group: int,
                 n_sel: int, bands: int, seg_cap: int):
     px = tile * tile
     capt = bands * seg_cap
@@ -291,12 +294,13 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             start_tile_dmas((g + 1) % 2, s_idx + 1)
 
         bufs = buf[slot]
-        cover, key = _candidates(start_ref, cnt_ref, bufs, tc, bands=bands,
-                                 seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
         is_live = s_idx < n_sel
-        n_surv = jnp.where(is_live, jnp.sum(cover.astype(jnp.int32)), 0)
-        rank = _rank_pass_banded(key, key_ref, start_ref, cnt_ref, tc,
-                                 bands=bands, seg_cap=seg_cap, capt=capt)
+        # Rank + survivor count persisted by the forward kernel (out ch 7):
+        # no candidates / rank-pass recomputation in the replay.
+        rank = rank_in_ref[pl.ds(g, 1)]
+        n_surv = jnp.where(
+            is_live, fwd_out_ref[g][7, 0].astype(jnp.int32), 0
+        )
 
         pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
         pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
@@ -409,10 +413,17 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
         # arrays and then fail its own 1 MB SMEM limit (observed at
         # Npad~26k; large arrays were placed in HBM anyway).
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (group, NCH, px), lambda t, *_: (t, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (group, NCH, px), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # Persisted depth ranks for the backward replay (see _bwd_kernel).
+            pl.BlockSpec(
+                (group, capt), lambda t, *_: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NCH, capt), jnp.float32),
             pltpu.VMEM((1, capt), jnp.int32),
@@ -424,7 +435,10 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
                           group=group, n_sel=n_sel, bands=bands,
                           seg_cap=seg_cap),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad * group, capt), jnp.int32),
+        ],
         interpret=_interpret(),
     )
 
@@ -440,6 +454,8 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
             pl.BlockSpec(memory_space=pltpu.HBM),          # attrs
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # fwd out
+            pl.BlockSpec((group, capt), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),          # fwd ranks
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # dout
             pl.BlockSpec(memory_space=pltpu.HBM),          # zeroed grads in
@@ -449,7 +465,6 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
             pltpu.VMEM((2, NCH, capt), jnp.float32),       # buf (dbl-buf)
             pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
             pltpu.VMEM((NCH, seg_cap), jnp.float32),       # gtmp
-            pltpu.VMEM((1, capt), jnp.int32),              # key
             pltpu.SemaphoreType.DMA((2, bands)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -460,9 +475,10 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
                           seg_cap=seg_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCH, n_pad), jnp.float32),
-        # Flat input index 6 = the zeroed grad buffer (after the three
-        # scalar-prefetch args, attrs, fwd_out, dout); aliased in-place.
-        input_output_aliases={6: 0},
+        # Flat input index 7 = the zeroed grad buffer (after the three
+        # scalar-prefetch args, attrs, fwd_out, ranks, dout); aliased
+        # in-place.
+        input_output_aliases={7: 0},
         interpret=_interpret(),
     )
 
@@ -474,28 +490,28 @@ def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
     """attrs_sorted (NCH, Npad) center-tile-sorted; tile_ids (S,) selects
     which tiles to render (arange(T) for a full image). Returns
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
-    return _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile, tiles_x,
-                     group, bands, seg_cap)(seg_start.reshape(-1),
-                                            seg_cnt.reshape(-1), tile_ids,
-                                            attrs_sorted)
+    out, _ = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
+                       tiles_x, group, bands, seg_cap)(
+        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
+    return out
 
 
 def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
                           tiles_x, group, bands, seg_cap):
-    out = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile, tiles_x,
-                    group, bands, seg_cap)(seg_start.reshape(-1),
-                                           seg_cnt.reshape(-1), tile_ids,
-                                           attrs_sorted)
-    return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out)
+    out, rank = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
+                          tiles_x, group, bands, seg_cap)(
+        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
+    return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank)
 
 
 def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, res, dout):
-    attrs_sorted, seg_start, seg_cnt, tile_ids, out = res
+    attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank = res
     n_pad = attrs_sorted.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
     grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
                       seg_cap)(seg_start.reshape(-1), seg_cnt.reshape(-1),
-                               tile_ids, attrs_sorted, out, dout, zeros)
+                               tile_ids, attrs_sorted, out, rank, dout,
+                               zeros)
     return (grads, None, None, None)
 
 

@@ -117,34 +117,57 @@ def main():
     opt_time(base._replace(kf_block=10), "resident kf_block=10")
     opt_time(base._replace(kf_block=20), "resident kf_block=20")
 
-    # Loss-side cost in isolation: ssim fwd+bwd at frame size.
-    from eags_slam_tpu.ops.losses import masked_l1, ssim
+    # Loss-side cost, amortized: render-only grad vs render+mapping-loss
+    # grad, each REPS chained inside one jit (single-dispatch numbers are
+    # floor noise).
+    from eags_slam_tpu.core.sh import sh_to_rgb
+    from eags_slam_tpu.ops.losses import isotropic_loss, masked_l1, ssim
+    from eags_slam_tpu.ops.rasterizer import render
 
-    img1 = kfs.color[0]
-    img2 = kfs.color[1]
+    gt_c, gt_d = kfs.color[0], kfs.depth[0]
+    alive = jnp.ones((n,), bool)
+    w2c0 = jnp.eye(4)
 
-    def ssim_fb():
-        def f(a):
-            return 1.0 - ssim(a, img2)
-        g = jax.grad(f)(img1)
-        return float(g[0, 0, 0])
+    def render_sum(xyz):
+        out = render(xyz, quats, log_scales, opac, sh_to_rgb(f_dc), w2c0,
+                     cam, rcfg, alive=alive)
+        return jnp.sum(out.color) + jnp.sum(jnp.where(jnp.isnan(out.depth),
+                                                      0.0, out.depth))
 
-    def many(fn, reps=20):
-        t0 = timed(fn)
-        return t0  # fn itself loops? keep simple: single dispatch & subtract floor
+    def render_loss(xyz):
+        out = render(xyz, quats, log_scales, opac, sh_to_rgb(f_dc), w2c0,
+                     cam, rcfg, alive=alive)
+        image = jnp.clip(out.color, 0.0, 1.0)
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth)
+        m3 = mask[..., None].astype(image.dtype)
+        cl1 = masked_l1(image, gt_c, jnp.tile(m3, (1, 1, 3)))
+        cl = 0.8 * cl1 + 0.2 * (1.0 - ssim(image, gt_c))
+        dl = masked_l1(out.depth, gt_d, mask.astype(image.dtype))
+        reg = isotropic_loss(log_scales, alive)
+        return cl + dl + reg
 
-    t = timed(ssim_fb)
-    print(f"[loss] ssim fwd+bwd single dispatch: {(t-floor)*1e3:7.2f} ms")
+    def amortized_grad(fn, reps=10):
+        def many(x):
+            def step(carry, _):
+                g = jax.grad(fn)(means + carry * 1e-20)
+                return carry + g.reshape(-1)[0] * 1e-20, ()
+            carry, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+            return carry
 
-    def l1_fb():
-        def f(a):
-            m = (img2[..., 0] > 0.2)[..., None].astype(a.dtype)
-            return masked_l1(a, img2, jnp.tile(m, (1, 1, 3)))
-        g = jax.grad(f)(img1)
-        return float(g[0, 0, 0])
+        jf = jax.jit(many)
+        _ = float(jf(means))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jf(means))
+            ts.append(time.perf_counter() - t0)
+        return (float(np.median(ts)) - floor) / reps
 
-    t = timed(l1_fb)
-    print(f"[loss] masked_l1 fwd+bwd single dispatch: {(t-floor)*1e3:7.2f} ms")
+    t1 = amortized_grad(render_sum)
+    print(f"[loss] render-only grad/iter:   {t1*1e3:7.2f} ms")
+    t2 = amortized_grad(render_loss)
+    print(f"[loss] render+loss grad/iter:   {t2*1e3:7.2f} ms  "
+          f"(loss side {1e3*(t2-t1):.2f} ms)")
 
 
 if __name__ == "__main__":

@@ -197,3 +197,59 @@ def test_robust_icp_recovers_large_rotation(rng):
     assert rob_rot_err < 3.0 and rob_t_err < 0.05, (rob_rot_err, rob_t_err)
     # ... and it must actually beat the plain-ICP basin failure.
     assert rob_t_err < 0.5 * max(plain_err, 1e-9) or plain_err > 0.1
+
+
+def test_pgo_analysis_artifacts(tmp_path, rng):
+    """Verbose PGO analysis (reference lc.py analyse_pgo :333-444): writes
+    pgo/<count>/pgo_analysis.json with per-edge GT errors and before/after
+    anchor ATE."""
+    from eags_slam_tpu.core.camera import Camera
+    from eags_slam_tpu.lc.loop_closure import LoopClosure, _SubmapInfo
+    from eags_slam_tpu.slam.submap import Submap
+
+    n = 4
+    poses = [np.eye(4)]
+    step = np.asarray(se3_exp(jnp.asarray([0.4, 0.0, 0.0, 0.0, 0.15, 0.0])))
+    for _ in range(1, n):
+        poses.append(poses[-1] @ step)
+
+    class _DS:
+        pass
+
+    ds = _DS()
+    ds.poses = {i * 10: p for i, p in enumerate(poses)}
+
+    cfg = {"lc": {"enabled": True}, "mapping": {"max_gaussians": 64},
+           "verbose": True}
+    lc = LoopClosure(cfg, str(tmp_path), Camera(10, 10, 5, 5, 10, 10),
+                     dataset=ds)
+    for i in range(n):
+        sm = Submap(i, i * 10, np.eye(4), np.eye(4)[None], [i * 10], {})
+        lc.infos.append(_SubmapInfo(sm, np.zeros((1, 8)), np.zeros(1),
+                                    i * 10, i * 10 + 10))
+
+    anchors = np.stack([p @ np.asarray(
+        se3_exp(jnp.asarray(rng.normal(size=6) * 0.01, jnp.float32)))
+        for p in poses])
+    corrected = np.stack(poses)
+    edges_ij = [(i, i + 1) for i in range(n - 1)] + [(0, n - 1)]
+    edges_T = [np.linalg.inv(anchors[i]) @ anchors[j]
+               for i, j in edges_ij[:-1]]
+    edges_T.append(np.linalg.inv(poses[0]) @ poses[-1])
+    edges_is_loop = [False] * (n - 1) + [True]
+
+    lc._pgo_count = 1
+    lc._analyse_pgo(anchors, corrected, edges_ij, edges_T, edges_is_loop,
+                    np.tile(np.eye(4), (40, 1, 1)))
+
+    import json
+    import os
+
+    path = os.path.join(str(tmp_path), "pgo", "1", "pgo_analysis.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        rep = json.load(f)
+    assert len(rep["edges"]) == n
+    assert all("rot_err_deg" in e for e in rep["edges"])
+    assert rep["anchor_ate_after_m"] <= rep["anchor_ate_before_m"] + 1e-9
+    assert rep["anchor_ate_after_m"] < 1e-6
