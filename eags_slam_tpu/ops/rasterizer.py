@@ -65,6 +65,7 @@ class RasterConfig(NamedTuple):
     entry_cap_factor: int = 4  # pallas: total entry budget = factor * N
     seg_cap: int = 1024       # sorted backend: per-band segment capacity
     bands: int = 3            # sorted backend: center-tile neighborhood side
+    kernel_bf16: bool = False  # sorted backend: bf16 triangular matmuls
 
 
 class RenderOutput(NamedTuple):
@@ -567,7 +568,7 @@ def _composite_v2(
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
-                           cfg.seg_cap)
+                           cfg.seg_cap, cfg.kernel_bf16)
     return _assemble_image(out, cam, cfg)
 
 
@@ -665,7 +666,7 @@ def render_sorted_resident(
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
-                           cfg.seg_cap)
+                           cfg.seg_cap, cfg.kernel_bf16)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
@@ -929,7 +930,8 @@ def render_frozen_sorted_tiles(
     tiles_x = -(-cam.width // cfg.tile)
     out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
-                           cfg.group, cfg.bands, cfg.seg_cap)
+                           cfg.group, cfg.bands, cfg.seg_cap,
+                           cfg.kernel_bf16)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)
@@ -955,7 +957,7 @@ def render_frozen_sorted(
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group,
-                           cfg.bands, cfg.seg_cap)
+                           cfg.bands, cfg.seg_cap, cfg.kernel_bf16)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
@@ -997,7 +999,8 @@ def render_tiles(
     attrs_sorted, seg_start, seg_cnt = _sorted_attrs(proj, colors, cam, cfg)
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
-                           cfg.group, cfg.bands, cfg.seg_cap)
+                           cfg.group, cfg.bands, cfg.seg_cap,
+                           cfg.kernel_bf16)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)

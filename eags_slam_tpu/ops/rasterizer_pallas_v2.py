@@ -45,11 +45,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterizer_pallas import (ALPHA_MAX, ALPHA_MIN, LOG_T_MIN, NCH,
-                                _chunk_alpha, _interpret, _pixel_coords,
-                                _tri_excl_T, _tri_suffix_T)
+                                _interpret, _pixel_coords, _tri_excl_T,
+                                _tri_suffix_T)
 
 CHUNK = 128
 INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _basis(tile: int):
+    """(PX, 8) TILE-LOCAL quadratic pixel basis [lu^2, lv^2, lu*lv, lu, lv,
+    1, 0, 0]: the per-(pixel, gaussian) EWA exponent becomes ONE small MXU
+    matmul `power = P @ G` instead of ~15 VPU ops per (pixel, candidate)
+    element — the dominant fwd VPU cost at SLAM scale. Tile-LOCAL
+    coordinates keep the basis magnitudes <= tile^2 so the f32 matmul loses
+    no precision to cancellation (global pixel coords would put ~1e6-sized
+    terms against an O(1) result)."""
+    px = tile * tile
+    p = jax.lax.broadcasted_iota(jnp.int32, (px, 1), 0)
+    lu = (p % tile).astype(jnp.float32)
+    lv = (p // tile).astype(jnp.float32)
+    one = jnp.ones((px, 1), jnp.float32)
+    zero = jnp.zeros((px, 1), jnp.float32)
+    return jnp.concatenate(
+        [lu * lu, lv * lv, lu * lv, lu, lv, one, zero, zero], axis=1
+    )
+
+
+def _gmat_chunk(e_t, tx0, ty0):
+    """(8, CHUNK) per-gaussian quadform coefficients in tile-local coords:
+    power(p, i) = P(p) . G(i) for P = [lu^2, lv^2, lu*lv, lu, lv, 1, 0, 0],
+    expanding -0.5 a du^2 - 0.5 c dv^2 - b du dv with du = lu - u_loc."""
+    u_ = e_t[0:1, :] - tx0
+    v_ = e_t[1:2, :] - ty0
+    a_, b_, c_ = e_t[2:3, :], e_t[3:4, :], e_t[4:5, :]
+    g3 = a_ * u_ + b_ * v_
+    g4 = c_ * v_ + b_ * u_
+    g5 = -0.5 * (a_ * u_ * u_ + c_ * v_ * v_) - b_ * u_ * v_
+    zero = jnp.zeros_like(a_)
+    return jnp.concatenate(
+        [-0.5 * a_, -0.5 * c_, -b_, g3, g4, g5, zero, zero], axis=0
+    )
+
+
+def _chunk_alpha_mxu(P, G_c, op_row, n_valid, chunk: int):
+    """Alphas (PX, CHUNK) from the MXU quadform; returns (alpha, g)."""
+    power = jax.lax.dot_general(
+        P, G_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    slot_ok = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) < n_valid
+    alpha = jnp.where((power <= 0.0) & slot_ok, op_row * g, 0.0)
+    alpha = jnp.minimum(alpha, ALPHA_MAX)
+    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+    return alpha, g
+
+
+def _mm(a, b, bf16: bool):
+    """dot(a, b) contracting a's last dim with b's first, optionally with
+    bf16 inputs (f32 accumulate). The triangular prefix/suffix matmuls are
+    the largest MXU terms; their bf16 form halves-to-thirds the pass count
+    at <=0.4% relative weight error (flag: RasterConfig.kernel_bf16)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _band_dma(attrs_hbm, buf, sem, start_al, b, seg_cap):
@@ -149,11 +211,11 @@ def _onehot(rank, base, capt):
 
 def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
                 buf, key_ref, sem, *, tile: int, tiles_x: int, group: int,
-                n_sel: int, bands: int, seg_cap: int):
+                n_sel: int, bands: int, seg_cap: int, bf16: bool):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
-    lu, lv = _pixel_coords(tile)
+    P = _basis(tile)
     tri = _tri_excl_T(CHUNK)
 
     def tile_of(s):
@@ -198,8 +260,8 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
         # (candidates + banded rank pass) was the dominant bwd cost.
         rank_ref[pl.ds(g, 1)] = rank
 
-        pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
-        pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
+        tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
+        ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
         num_chunks = (n_surv + CHUNK - 1) // CHUNK
 
         def cond(carry):
@@ -213,13 +275,11 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
                 bufs[:, :], M, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                              # (NCH, CHUNK)
-            alpha, _, _, _ = _chunk_alpha(e_t, pu, pv, n_surv - ci * CHUNK,
-                                          CHUNK)
+            G_c = _gmat_chunk(e_t, tx0, ty0)
+            alpha, _ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
+                                        n_surv - ci * CHUNK, CHUNK)
             log1m = jnp.log1p(-alpha)                      # (PX, CHUNK)
-            excl = jax.lax.dot_general(
-                log1m, tri, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            excl = _mm(log1m, tri, bf16)
             w = alpha * jnp.exp(excl + log_t)
             contrib = jax.lax.dot_general(
                 e_t, w, (((1,), (1,)), ((), ())),
@@ -253,11 +313,11 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
                 rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, gbuf,
                 gtmp, sem, gsem, *, tile: int, tiles_x: int, group: int,
-                n_sel: int, bands: int, seg_cap: int):
+                n_sel: int, bands: int, seg_cap: int, bf16: bool):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
-    lu, lv = _pixel_coords(tile)
+    P = _basis(tile)
     tri = _tri_excl_T(CHUNK)
     tri_s = _tri_suffix_T(CHUNK)
 
@@ -302,8 +362,8 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             is_live, fwd_out_ref[g][7, 0].astype(jnp.int32), 0
         )
 
-        pu = lu + ((tc % tiles_x) * tile).astype(jnp.float32)
-        pv = lv + ((tc // tiles_x) * tile).astype(jnp.float32)
+        tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
+        ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
 
         dout = dout_ref[g]                                 # (NCH, PX)
         dout_px = jnp.transpose(dout[0:4, :])              # (PX, 4)
@@ -320,13 +380,11 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
                 bufs[:, :], M, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv, n_surv - ci * CHUNK,
-                                             CHUNK)
+            G_c = _gmat_chunk(e_t, tx0, ty0)
+            alpha, g_ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
+                                         n_surv - ci * CHUNK, CHUNK)
             log1m = jnp.log1p(-alpha)
-            excl = jax.lax.dot_general(
-                log1m, tri, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            excl = _mm(log1m, tri, bf16)
             log_t_in = log_t_end - jnp.sum(log1m, axis=1, keepdims=True)
             T_i = jnp.exp(excl + log_t_in)
             w = alpha * T_i
@@ -337,10 +395,7 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             ) + d_alpha_map                                # (PX, CHUNK)
 
             wq = w * q
-            suffix = jax.lax.dot_general(
-                wq, tri_s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            suffix = _mm(wq, tri_s, bf16)
             one_m = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = T_i * q - (bvec + suffix) / one_m
             d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
@@ -351,13 +406,27 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             )                                              # (4, CHUNK)
             dop = jnp.sum(d_alpha * g_, axis=0, keepdims=True)
             dpower = d_alpha * alpha
-            d_du = dpower * (-(e_t[2:3, :] * du + e_t[3:4, :] * dv))
-            d_dv = dpower * (-(e_t[4:5, :] * dv + e_t[3:4, :] * du))
-            dmu = -jnp.sum(d_du, axis=0, keepdims=True)
-            dmv = -jnp.sum(d_dv, axis=0, keepdims=True)
-            da = jnp.sum(-0.5 * du * du * dpower, axis=0, keepdims=True)
-            db_ = jnp.sum(-du * dv * dpower, axis=0, keepdims=True)
-            dc = jnp.sum(-0.5 * dv * dv * dpower, axis=0, keepdims=True)
+            # Quadform cotangents via dpower-weighted basis MOMENTS — one
+            # (8, PX) x (PX, CHUNK) MXU matmul replaces the five VPU
+            # (PX, CHUNK)-sized reductions: S rows are sums of
+            # [lu^2, lv^2, lu*lv, lu, lv, 1] weighted by dpower.
+            S = jax.lax.dot_general(
+                P, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (8, CHUNK)
+            u_ = e_t[0:1, :] - tx0
+            v_ = e_t[1:2, :] - ty0
+            a_, b_, c_ = e_t[2:3, :], e_t[3:4, :], e_t[4:5, :]
+            su_c = S[3:4, :] - u_ * S[5:6, :]
+            sv_c = S[4:5, :] - v_ * S[5:6, :]
+            dmu = a_ * su_c + b_ * sv_c
+            dmv = c_ * sv_c + b_ * su_c
+            da = -0.5 * (S[0:1, :] - 2.0 * u_ * S[3:4, :]
+                         + u_ * u_ * S[5:6, :])
+            db_ = -(S[2:3, :] - u_ * S[4:5, :] - v_ * S[3:4, :]
+                    + u_ * v_ * S[5:6, :])
+            dc = -0.5 * (S[1:2, :] - 2.0 * v_ * S[4:5, :]
+                         + v_ * v_ * S[5:6, :])
 
             dG = jnp.concatenate(
                 [dmu, dmv, da, db_, dc, dop, dfeat,
@@ -402,7 +471,7 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
     jax.lax.fori_loop(0, group, tile_body, 0)
 
 
-def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
+def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
     px = tile * tile
     t_pad = -(-n_sel // group)
     capt = bands * seg_cap
@@ -433,7 +502,7 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, tile=tile, tiles_x=tiles_x,
                           group=group, n_sel=n_sel, bands=bands,
-                          seg_cap=seg_cap),
+                          seg_cap=seg_cap, bf16=bf16),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
@@ -443,7 +512,7 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     )
 
 
-def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
+def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
     px = tile * tile
     t_pad = -(-n_sel // group)
     capt = bands * seg_cap
@@ -472,7 +541,7 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tile=tile, tiles_x=tiles_x,
                           group=group, n_sel=n_sel, bands=bands,
-                          seg_cap=seg_cap),
+                          seg_cap=seg_cap, bf16=bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCH, n_pad), jnp.float32),
         # Flat input index 7 = the zeroed grad buffer (after the three
@@ -483,33 +552,34 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                      tile: int, tiles_x: int, group: int, bands: int,
-                     seg_cap: int):
+                     seg_cap: int, bf16: bool = False):
     """attrs_sorted (NCH, Npad) center-tile-sorted; tile_ids (S,) selects
     which tiles to render (arange(T) for a full image). Returns
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
     out, _ = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
-                       tiles_x, group, bands, seg_cap)(
+                       tiles_x, group, bands, seg_cap, bf16)(
         seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
     return out
 
 
 def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
-                          tiles_x, group, bands, seg_cap):
+                          tiles_x, group, bands, seg_cap, bf16):
     out, rank = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
-                          tiles_x, group, bands, seg_cap)(
+                          tiles_x, group, bands, seg_cap, bf16)(
         seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
     return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank)
 
 
-def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, res, dout):
+def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, bf16, res,
+                          dout):
     attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank = res
     n_pad = attrs_sorted.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
     grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
-                      seg_cap)(seg_start.reshape(-1), seg_cnt.reshape(-1),
+                      seg_cap, bf16)(seg_start.reshape(-1), seg_cnt.reshape(-1),
                                tile_ids, attrs_sorted, out, rank, dout,
                                zeros)
     return (grads, None, None, None)

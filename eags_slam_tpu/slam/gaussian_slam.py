@@ -80,6 +80,10 @@ class GaussianSLAM:
             chunk=64,
             group=int(mc.get("raster_group", 8)),
             entry_cap_factor=int(mc.get("entry_cap_factor", 4)),
+            # bf16 triangular matmuls in the compositing kernels: <=0.4%
+            # relative weight error, well under SGD noise; tests/CPU stay
+            # exact f32 (golden tolerances).
+            kernel_bf16=bool(mc.get("kernel_bf16", on_tpu)),
         )
         self.mcfg = M.MapperConfig(
             iterations=int(mc["iterations"]),

@@ -99,3 +99,29 @@ def test_render_tiles_matches_full(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sub.depth), np.asarray(ref_d),
                                atol=1e-4)
+
+
+def test_sorted_bf16_close_to_f32(rng):
+    """kernel_bf16 (bf16 triangular matmuls) stays within the documented
+    <=0.4%-of-weight error envelope of the exact f32 path."""
+    args = make_scene(rng)
+    out32 = render(*args, CAM, CFG_S)
+    out16 = render(*args, CAM, CFG_S._replace(kernel_bf16=True))
+    c32, c16 = np.asarray(out32.color), np.asarray(out16.color)
+    assert np.max(np.abs(c32 - c16)) < 2e-2
+    assert np.mean(np.abs(c32 - c16)) < 2e-3
+    a32, a16 = np.asarray(out32.alpha), np.asarray(out16.alpha)
+    assert np.max(np.abs(a32 - a16)) < 2e-2
+
+    def loss(cfg):
+        def f(means):
+            out = render(means, *args[1:], CAM, cfg)
+            return jnp.mean(jnp.abs(out.color)) + 0.1 * jnp.mean(out.depth)
+        return f
+
+    g32 = np.asarray(jax.grad(loss(CFG_S))(args[0]))
+    g16 = np.asarray(
+        jax.grad(loss(CFG_S._replace(kernel_bf16=True)))(args[0])
+    )
+    scale = max(np.abs(g32).max(), 1e-9)
+    assert np.max(np.abs(g32 - g16)) < 2e-2 * scale
