@@ -66,6 +66,7 @@ class RasterConfig(NamedTuple):
     seg_cap: int = 1024       # sorted backend: per-band segment capacity
     bands: int = 3            # sorted backend: center-tile neighborhood side
     kernel_bf16: bool = False  # sorted backend: bf16 triangular matmuls
+    kernel_quadform: bool = False  # sorted backend: MXU quadform exponent
 
 
 class RenderOutput(NamedTuple):
@@ -568,7 +569,8 @@ def _composite_v2(
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
-                           cfg.seg_cap, cfg.kernel_bf16)
+                           cfg.seg_cap, cfg.kernel_bf16,
+                           cfg.kernel_quadform)
     return _assemble_image(out, cam, cfg)
 
 
@@ -666,7 +668,8 @@ def render_sorted_resident(
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
-                           cfg.seg_cap, cfg.kernel_bf16)
+                           cfg.seg_cap, cfg.kernel_bf16,
+                           cfg.kernel_quadform)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
@@ -931,7 +934,7 @@ def render_frozen_sorted_tiles(
     out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
                            cfg.group, cfg.bands, cfg.seg_cap,
-                           cfg.kernel_bf16)
+                           cfg.kernel_bf16, cfg.kernel_quadform)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)
@@ -957,7 +960,8 @@ def render_frozen_sorted(
     tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group,
-                           cfg.bands, cfg.seg_cap, cfg.kernel_bf16)
+                           cfg.bands, cfg.seg_cap, cfg.kernel_bf16,
+                           cfg.kernel_quadform)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
@@ -1000,7 +1004,7 @@ def render_tiles(
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
                            cfg.group, cfg.bands, cfg.seg_cap,
-                           cfg.kernel_bf16)
+                           cfg.kernel_bf16, cfg.kernel_quadform)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)

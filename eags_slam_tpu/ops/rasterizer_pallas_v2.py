@@ -45,8 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterizer_pallas import (ALPHA_MAX, ALPHA_MIN, LOG_T_MIN, NCH,
-                                _interpret, _pixel_coords, _tri_excl_T,
-                                _tri_suffix_T)
+                                _chunk_alpha, _interpret, _pixel_coords,
+                                _tri_excl_T, _tri_suffix_T)
 
 CHUNK = 128
 INT_MAX = jnp.iinfo(jnp.int32).max
@@ -61,13 +61,17 @@ def _basis(tile: int):
     no precision to cancellation (global pixel coords would put ~1e6-sized
     terms against an O(1) result)."""
     px = tile * tile
-    p = jax.lax.broadcasted_iota(jnp.int32, (px, 1), 0)
-    lu = (p % tile).astype(jnp.float32)
-    lv = (p // tile).astype(jnp.float32)
-    one = jnp.ones((px, 1), jnp.float32)
-    zero = jnp.zeros((px, 1), jnp.float32)
-    return jnp.concatenate(
-        [lu * lu, lv * lv, lu * lv, lu, lv, one, zero, zero], axis=1
+    j = jax.lax.broadcasted_iota(jnp.int32, (px, 8), 1)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (px, 8), 0)
+    lu = (pidx % tile).astype(jnp.float32)
+    lv = (pidx // tile).astype(jnp.float32)
+    return (
+        jnp.where(j == 0, lu * lu, 0.0)
+        + jnp.where(j == 1, lv * lv, 0.0)
+        + jnp.where(j == 2, lu * lv, 0.0)
+        + jnp.where(j == 3, lu, 0.0)
+        + jnp.where(j == 4, lv, 0.0)
+        + jnp.where(j == 5, 1.0, 0.0)
     )
 
 
@@ -211,11 +215,13 @@ def _onehot(rank, base, capt):
 
 def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
                 buf, key_ref, sem, *, tile: int, tiles_x: int, group: int,
-                n_sel: int, bands: int, seg_cap: int, bf16: bool):
+                n_sel: int, bands: int, seg_cap: int, bf16: bool,
+                quadform: bool):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
-    P = _basis(tile)
+    P = _basis(tile) if quadform else None
+    lu, lv = _pixel_coords(tile)
     tri = _tri_excl_T(CHUNK)
 
     def tile_of(s):
@@ -262,6 +268,8 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
 
         tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
         ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
+        pu = lu + tx0
+        pv = lv + ty0
         num_chunks = (n_surv + CHUNK - 1) // CHUNK
 
         def cond(carry):
@@ -275,9 +283,13 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
                 bufs[:, :], M, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                              # (NCH, CHUNK)
-            G_c = _gmat_chunk(e_t, tx0, ty0)
-            alpha, _ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
-                                        n_surv - ci * CHUNK, CHUNK)
+            if quadform:
+                G_c = _gmat_chunk(e_t, tx0, ty0)
+                alpha, _ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
+                                            n_surv - ci * CHUNK, CHUNK)
+            else:
+                alpha, _, _, _ = _chunk_alpha(e_t, pu, pv,
+                                              n_surv - ci * CHUNK, CHUNK)
             log1m = jnp.log1p(-alpha)                      # (PX, CHUNK)
             excl = _mm(log1m, tri, bf16)
             w = alpha * jnp.exp(excl + log_t)
@@ -313,11 +325,13 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
                 rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, gbuf,
                 gtmp, sem, gsem, *, tile: int, tiles_x: int, group: int,
-                n_sel: int, bands: int, seg_cap: int, bf16: bool):
+                n_sel: int, bands: int, seg_cap: int, bf16: bool,
+                quadform: bool):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
-    P = _basis(tile)
+    P = _basis(tile) if quadform else None
+    lu, lv = _pixel_coords(tile)
     tri = _tri_excl_T(CHUNK)
     tri_s = _tri_suffix_T(CHUNK)
 
@@ -364,6 +378,8 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
 
         tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
         ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
+        pu = lu + tx0
+        pv = lv + ty0
 
         dout = dout_ref[g]                                 # (NCH, PX)
         dout_px = jnp.transpose(dout[0:4, :])              # (PX, 4)
@@ -380,9 +396,14 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
                 bufs[:, :], M, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            G_c = _gmat_chunk(e_t, tx0, ty0)
-            alpha, g_ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
-                                         n_surv - ci * CHUNK, CHUNK)
+            if quadform:
+                G_c = _gmat_chunk(e_t, tx0, ty0)
+                alpha, g_ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
+                                             n_surv - ci * CHUNK, CHUNK)
+                du = dv = None
+            else:
+                alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv,
+                                                 n_surv - ci * CHUNK, CHUNK)
             log1m = jnp.log1p(-alpha)
             excl = _mm(log1m, tri, bf16)
             log_t_in = log_t_end - jnp.sum(log1m, axis=1, keepdims=True)
@@ -406,27 +427,37 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             )                                              # (4, CHUNK)
             dop = jnp.sum(d_alpha * g_, axis=0, keepdims=True)
             dpower = d_alpha * alpha
-            # Quadform cotangents via dpower-weighted basis MOMENTS — one
-            # (8, PX) x (PX, CHUNK) MXU matmul replaces the five VPU
-            # (PX, CHUNK)-sized reductions: S rows are sums of
-            # [lu^2, lv^2, lu*lv, lu, lv, 1] weighted by dpower.
-            S = jax.lax.dot_general(
-                P, dpower, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # (8, CHUNK)
-            u_ = e_t[0:1, :] - tx0
-            v_ = e_t[1:2, :] - ty0
-            a_, b_, c_ = e_t[2:3, :], e_t[3:4, :], e_t[4:5, :]
-            su_c = S[3:4, :] - u_ * S[5:6, :]
-            sv_c = S[4:5, :] - v_ * S[5:6, :]
-            dmu = a_ * su_c + b_ * sv_c
-            dmv = c_ * sv_c + b_ * su_c
-            da = -0.5 * (S[0:1, :] - 2.0 * u_ * S[3:4, :]
-                         + u_ * u_ * S[5:6, :])
-            db_ = -(S[2:3, :] - u_ * S[4:5, :] - v_ * S[3:4, :]
-                    + u_ * v_ * S[5:6, :])
-            dc = -0.5 * (S[1:2, :] - 2.0 * v_ * S[4:5, :]
-                         + v_ * v_ * S[5:6, :])
+            if quadform:
+                # Quadform cotangents via dpower-weighted basis MOMENTS —
+                # one (8, PX) x (PX, CHUNK) MXU matmul replaces the five
+                # VPU (PX, CHUNK)-sized reductions: S rows are sums of
+                # [lu^2, lv^2, lu*lv, lu, lv, 1] weighted by dpower.
+                S = jax.lax.dot_general(
+                    P, dpower, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (8, CHUNK)
+                u_ = e_t[0:1, :] - tx0
+                v_ = e_t[1:2, :] - ty0
+                a_, b_, c_ = e_t[2:3, :], e_t[3:4, :], e_t[4:5, :]
+                su_c = S[3:4, :] - u_ * S[5:6, :]
+                sv_c = S[4:5, :] - v_ * S[5:6, :]
+                dmu = a_ * su_c + b_ * sv_c
+                dmv = c_ * sv_c + b_ * su_c
+                da = -0.5 * (S[0:1, :] - 2.0 * u_ * S[3:4, :]
+                             + u_ * u_ * S[5:6, :])
+                db_ = -(S[2:3, :] - u_ * S[4:5, :] - v_ * S[3:4, :]
+                        + u_ * v_ * S[5:6, :])
+                dc = -0.5 * (S[1:2, :] - 2.0 * v_ * S[4:5, :]
+                             + v_ * v_ * S[5:6, :])
+            else:
+                d_du = dpower * (-(e_t[2:3, :] * du + e_t[3:4, :] * dv))
+                d_dv = dpower * (-(e_t[4:5, :] * dv + e_t[3:4, :] * du))
+                dmu = -jnp.sum(d_du, axis=0, keepdims=True)
+                dmv = -jnp.sum(d_dv, axis=0, keepdims=True)
+                da = jnp.sum(-0.5 * du * du * dpower, axis=0, keepdims=True)
+                db_ = jnp.sum(-du * dv * dpower, axis=0, keepdims=True)
+                dc = jnp.sum(-0.5 * dv * dv * dpower, axis=0,
+                             keepdims=True)
 
             dG = jnp.concatenate(
                 [dmu, dmv, da, db_, dc, dop, dfeat,
@@ -471,7 +502,8 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
     jax.lax.fori_loop(0, group, tile_body, 0)
 
 
-def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
+def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
+              quadform):
     px = tile * tile
     t_pad = -(-n_sel // group)
     capt = bands * seg_cap
@@ -502,7 +534,8 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, tile=tile, tiles_x=tiles_x,
                           group=group, n_sel=n_sel, bands=bands,
-                          seg_cap=seg_cap, bf16=bf16),
+                          seg_cap=seg_cap, bf16=bf16,
+                          quadform=quadform),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
@@ -512,7 +545,8 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
     )
 
 
-def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
+def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
+              quadform):
     px = tile * tile
     t_pad = -(-n_sel // group)
     capt = bands * seg_cap
@@ -541,7 +575,8 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tile=tile, tiles_x=tiles_x,
                           group=group, n_sel=n_sel, bands=bands,
-                          seg_cap=seg_cap, bf16=bf16),
+                          seg_cap=seg_cap, bf16=bf16,
+                          quadform=quadform),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCH, n_pad), jnp.float32),
         # Flat input index 7 = the zeroed grad buffer (after the three
@@ -552,34 +587,37 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                      tile: int, tiles_x: int, group: int, bands: int,
-                     seg_cap: int, bf16: bool = False):
+                     seg_cap: int, bf16: bool = False,
+                     quadform: bool = False):
     """attrs_sorted (NCH, Npad) center-tile-sorted; tile_ids (S,) selects
     which tiles to render (arange(T) for a full image). Returns
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
     out, _ = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
-                       tiles_x, group, bands, seg_cap, bf16)(
+                       tiles_x, group, bands, seg_cap, bf16, quadform)(
         seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
     return out
 
 
 def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
-                          tiles_x, group, bands, seg_cap, bf16):
+                          tiles_x, group, bands, seg_cap, bf16, quadform):
     out, rank = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
-                          tiles_x, group, bands, seg_cap, bf16)(
+                          tiles_x, group, bands, seg_cap, bf16, quadform)(
         seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
     return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank)
 
 
-def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, bf16, res,
-                          dout):
+def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, bf16,
+                          quadform, res, dout):
     attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank = res
     n_pad = attrs_sorted.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
     grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
-                      seg_cap, bf16)(seg_start.reshape(-1), seg_cnt.reshape(-1),
+                      seg_cap, bf16, quadform)(
+        seg_start.reshape(-1), seg_cnt.reshape(-1),
                                tile_ids, attrs_sorted, out, rank, dout,
                                zeros)
     return (grads, None, None, None)

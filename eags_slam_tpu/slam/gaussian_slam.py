@@ -80,10 +80,15 @@ class GaussianSLAM:
             chunk=64,
             group=int(mc.get("raster_group", 8)),
             entry_cap_factor=int(mc.get("entry_cap_factor", 4)),
+            # Per-band segment capacity (sorted backend). Bands that overflow
+            # clip their DEEPEST entries (depth-sorted segments), so smaller
+            # caps trade far-occluded contributions for ~linear kernel time.
+            seg_cap=int(mc.get("seg_cap", 1024)),
             # bf16 triangular matmuls in the compositing kernels: <=0.4%
             # relative weight error, well under SGD noise; tests/CPU stay
             # exact f32 (golden tolerances).
             kernel_bf16=bool(mc.get("kernel_bf16", on_tpu)),
+            kernel_quadform=bool(mc.get("kernel_quadform", False)),
         )
         self.mcfg = M.MapperConfig(
             iterations=int(mc["iterations"]),

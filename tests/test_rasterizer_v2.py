@@ -125,3 +125,37 @@ def test_sorted_bf16_close_to_f32(rng):
     )
     scale = max(np.abs(g32).max(), 1e-9)
     assert np.max(np.abs(g32 - g16)) < 2e-2 * scale
+
+
+def test_sorted_quadform_matches_dense(rng):
+    """kernel_quadform (MXU 6-basis exponent) is exact: same golden
+    tolerances as the default VPU path."""
+    args = make_scene(rng)
+    cfg = CFG_S._replace(kernel_quadform=True)
+    out = render(*args, CAM, cfg)
+    ref = render_dense(*args, CAM, CFG_D)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=2e-4)
+
+    target = jnp.asarray(
+        rng.uniform(0, 1, (CAM.height, CAM.width, 3)).astype(np.float32)
+    )
+
+    def loss(backend_cfg):
+        def f(means, quats, ls, op, col, w2c):
+            out = render(means, quats, ls, op, col, w2c, CAM, backend_cfg)
+            return (
+                jnp.mean(jnp.abs(out.color - target))
+                + 0.1 * jnp.mean(out.depth)
+                + 0.05 * jnp.mean(out.alpha)
+            )
+        return f
+
+    g_q = jax.grad(loss(cfg), argnums=(0, 2, 3))(*args)
+    g_d = jax.grad(loss(CFG_D), argnums=(0, 2, 3))(*args)
+    for name, gs, gd in zip(["means", "log_scales", "opacity"], g_q, g_d):
+        gs, gd = np.asarray(gs), np.asarray(gd)
+        scale = max(np.abs(gd).max(), 1e-6)
+        np.testing.assert_allclose(gs, gd, atol=5e-3 * scale, err_msg=name)
