@@ -118,6 +118,50 @@ def _mm(a, b, bf16: bool):
     )
 
 
+def to_bf16_layout(attrs):
+    """(NCH, Npad) f32 ORIGINAL-layout attrs -> (NCH, Npad) bf16 DMA layout.
+
+    The band-segment DMA is the largest single kernel cost (~5 ms of a
+    ~13 ms full-image fwd at 262k gaussians); storing the DMA'd attrs in
+    bf16 halves it. Rows needing more than bf16 precision travel as hi/lo
+    pairs (u, v: 1200 px would quantize to ~4 px; depth feeds the ordering
+    keys and the depth-L1 loss): 0 u_hi, 1 u_lo, 2 v_hi, 3 v_lo, 4 conic_a,
+    5 conic_b, 6 conic_c, 7 opacity, 8 r, 9 g, 10 b, 11 depth_hi,
+    12 depth_lo, 13 radius, 14-15 zero. Conic/opacity/rgb/radius ride as
+    single bf16 (<=0.4% relative — under SGD noise, same envelope as the
+    bf16 triangular matmuls). The conversion lives INSIDE the custom-vjp
+    boundary: callers keep the f32 original-layout interface and the
+    backward kernel still emits f32 original-layout grads."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+
+    def split(x):
+        hi = x.astype(bf)
+        lo = (x - hi.astype(f32)).astype(bf)
+        return hi, lo
+
+    u_hi, u_lo = split(attrs[0])
+    v_hi, v_lo = split(attrs[1])
+    d_hi, d_lo = split(attrs[9])
+    b16 = attrs.astype(bf)
+    z = jnp.zeros_like(u_hi)
+    return jnp.stack(
+        [u_hi, u_lo, v_hi, v_lo, b16[2], b16[3], b16[4], b16[5], b16[6],
+         b16[7], b16[8], d_hi, d_lo, b16[10], z, z], axis=0)
+
+
+def _rebuild_f32(bufw, bsrc):
+    """Unpack a bf16 DMA-layout buffer (NCH, capt) into ORIGINAL-layout f32
+    rows of the bufw scratch (see to_bf16_layout)."""
+    f32 = jnp.float32
+    bufw[0:1, :] = bsrc[0:1].astype(f32) + bsrc[1:2].astype(f32)
+    bufw[1:2, :] = bsrc[2:3].astype(f32) + bsrc[3:4].astype(f32)
+    bufw[2:9, :] = bsrc[4:11].astype(f32)      # conic a/b/c, op, rgb
+    bufw[9:10, :] = bsrc[11:12].astype(f32) + bsrc[12:13].astype(f32)
+    bufw[10:11, :] = bsrc[13:14].astype(f32)
+    bufw[11:, :] = jnp.zeros_like(bufw[11:, :])
+
+
 def _band_dma(attrs_hbm, buf, sem, start_al, b, seg_cap):
     return pltpu.make_async_copy(
         attrs_hbm.at[:, pl.ds(start_al, seg_cap)],
@@ -214,7 +258,7 @@ def _onehot(rank, base, capt):
 
 
 def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
-                buf, key_ref, sem, *, tile: int, tiles_x: int, group: int,
+                buf, bufw, key_ref, sem, *, tile: int, tiles_x: int, group: int,
                 n_sel: int, bands: int, seg_cap: int, bf16: bool,
                 quadform: bool):
     px = tile * tile
@@ -255,7 +299,11 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
         def _():
             start_tile_dmas((g + 1) % 2, s + 1)
 
-        bufs = buf[slot]
+        if bf16:
+            _rebuild_f32(bufw, buf[slot])
+            bufs = bufw[...]
+        else:
+            bufs = buf[slot]
         cover, key = _candidates(start_ref, cnt_ref, bufs, tc, bands=bands,
                                  seg_cap=seg_cap, tile=tile, tiles_x=tiles_x)
         is_live = s < n_sel
@@ -323,8 +371,8 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
 
 
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
-                rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, gbuf,
-                gtmp, sem, gsem, *, tile: int, tiles_x: int, group: int,
+                rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, bufw,
+                gbuf, gtmp, sem, gsem, *, tile: int, tiles_x: int, group: int,
                 n_sel: int, bands: int, seg_cap: int, bf16: bool,
                 quadform: bool):
     px = tile * tile
@@ -367,7 +415,11 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
         def _():
             start_tile_dmas((g + 1) % 2, s_idx + 1)
 
-        bufs = buf[slot]
+        if bf16:
+            _rebuild_f32(bufw, buf[slot])
+            bufs = bufw[...]
+        else:
+            bufs = buf[slot]
         is_live = s_idx < n_sel
         # Rank + survivor count persisted by the forward kernel (out ch 7):
         # no candidates / rank-pass recomputation in the replay.
@@ -526,7 +578,9 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, capt), jnp.float32),
+            pltpu.VMEM((2, NCH, capt),
+                       jnp.bfloat16 if bf16 else jnp.float32),
+            pltpu.VMEM((NCH, capt), jnp.float32),
             pltpu.VMEM((1, capt), jnp.int32),
             pltpu.SemaphoreType.DMA((2, bands)),
         ],
@@ -565,7 +619,9 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),    # grads out
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, capt), jnp.float32),       # buf (dbl-buf)
+            pltpu.VMEM((2, NCH, capt),
+                       jnp.bfloat16 if bf16 else jnp.float32),  # buf
+            pltpu.VMEM((NCH, capt), jnp.float32),          # bufw (f32 view)
             pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
             pltpu.VMEM((NCH, seg_cap), jnp.float32),       # gtmp
             pltpu.SemaphoreType.DMA((2, bands)),
@@ -596,29 +652,31 @@ def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
     """attrs_sorted (NCH, Npad) center-tile-sorted; tile_ids (S,) selects
     which tiles to render (arange(T) for a full image). Returns
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
+    attrs_dma = to_bf16_layout(attrs_sorted) if bf16 else attrs_sorted
     out, _ = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
                        tiles_x, group, bands, seg_cap, bf16, quadform)(
-        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
+        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_dma)
     return out
 
 
 def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
                           tiles_x, group, bands, seg_cap, bf16, quadform):
+    attrs_dma = to_bf16_layout(attrs_sorted) if bf16 else attrs_sorted
     out, rank = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
                           tiles_x, group, bands, seg_cap, bf16, quadform)(
-        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_sorted)
-    return out, (attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank)
+        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_dma)
+    return out, (attrs_dma, seg_start, seg_cnt, tile_ids, out, rank)
 
 
 def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, bf16,
                           quadform, res, dout):
-    attrs_sorted, seg_start, seg_cnt, tile_ids, out, rank = res
-    n_pad = attrs_sorted.shape[1]
+    attrs_dma, seg_start, seg_cnt, tile_ids, out, rank = res
+    n_pad = attrs_dma.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
     grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
                       seg_cap, bf16, quadform)(
         seg_start.reshape(-1), seg_cnt.reshape(-1),
-                               tile_ids, attrs_sorted, out, rank, dout,
+                               tile_ids, attrs_dma, out, rank, dout,
                                zeros)
     return (grads, None, None, None)
 

@@ -279,6 +279,21 @@ class GaussianSLAM:
         return canny(gray255, 100.0, 200.0)
 
     def map_frame(self, frame_id: int, color_np, depth_np, is_new_submap: bool):
+        import jax
+
+        prof = os.environ.get("EAGS_PROFILE", "") != ""
+        stages = {}
+
+        def _tick(name, *sync):
+            if prof:
+                if sync:
+                    jax.block_until_ready(sync)
+                    # block_until_ready is unreliable on the tunneled
+                    # backend; force a value fetch.
+                    jax.device_get(jax.tree.leaves(sync)[0].ravel()[:1])
+                stages[name] = time.perf_counter()
+
+        _tick("t0")
         c2w = self.estimated_c2ws[frame_id]
         w2c32 = jnp.asarray(np.linalg.inv(c2w), dtype=jnp.float32)
         gt_color = jnp.asarray(color_np)
@@ -287,6 +302,7 @@ class GaussianSLAM:
         edge_img = self._edge_image(frame_id, gray255)
         edge_b = edge_img.at[0].set(False).at[-1].set(False)
         edge_b = edge_b.at[:, 0].set(False).at[:, -1].set(False)
+        _tick("edges", edge_b)
 
         # 1. seeding mask (reference mapper.py:299-314)
         if is_new_submap:
@@ -296,6 +312,7 @@ class GaussianSLAM:
                 self.state.params, self.state.alive, w2c32, gt_depth,
                 self.cam, self.rcfg, self.mcfg.alpha_thre,
             )
+        _tick("seed_mask", seeding_mask)
 
         # 2. sample seed pixels
         ids, valid = M.sample_seed_ids(
@@ -305,6 +322,7 @@ class GaussianSLAM:
             self.mcfg.new_frame_sample_size,
             is_new_submap,
         )
+        _tick("sample", valid)
 
         # 3. grow submap
         pts_w, rgbs = M.backproject_world(
@@ -317,11 +335,10 @@ class GaussianSLAM:
             self.mcfg.outlier_removal and not is_new_submap,
         )
         # One round trip for both host-needed counts.
-        import jax
-
         n_added, n_post_grow = jax.device_get(
             (n_added, G.num_alive(self.state))
         )
+        _tick("grow")
 
         # 4. optimize (current frame in slot 0), on a bucket-compacted state
         # so the per-iteration render cost follows the alive count
@@ -332,15 +349,29 @@ class GaussianSLAM:
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
         packed, idx = G.compact_state(self.state, int(n_post_grow))
+        _tick("compact", packed.alive)
         packed, opt = M.optimize_submap(
             packed, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
             jnp.asarray(self._key()), iters, self.cam, self.rcfg, self.mcfg,
             mesh=self.mesh,
         )
+        _tick("optimize", opt["losses"])
         if idx is None:
             self.state = packed
         else:
             self.state = G.scatter_state(self.state, packed, idx)
+        if prof:
+            _tick("scatter", self.state.alive)
+            keys = list(stages)
+            deltas = {
+                f"{keys[i]}_ms": round(
+                    1e3 * (stages[keys[i]] - stages[keys[i - 1]]), 1
+                )
+                for i in range(1, len(keys))
+            }
+            deltas["n_post_grow"] = int(n_post_grow)
+            deltas["iters"] = int(iters)
+            self.logger.log("map_profile", deltas)
 
         # 5. make the current frame a permanent keyframe
         if self.n_kf + 1 < self.mcfg.max_keyframes:
