@@ -30,25 +30,49 @@ def masked_l1(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndar
     return jnp.sum(diff) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def _band_matrix(n: int, g: jnp.ndarray, half: int) -> jnp.ndarray:
+    """(n, n) banded blur matrix: B[i, j] = g[j - i + half] for |i-j|<=half
+    (zero-padded borders — F.conv2d SAME semantics, like the reference's
+    windowed SSIM)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = j - i + half
+    ok = (d >= 0) & (d <= 2 * half)
+    return jnp.where(ok, g[jnp.clip(d, 0, 2 * half)], 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("window_size",))
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an (H, W, C) pair. Gaussian window sigma=1.5."""
+    """Mean SSIM over an (H, W, C) pair. Gaussian window sigma=1.5.
+
+    The separable blur runs as two BANDED MATMULS instead of C=1
+    convolutions: single-feature convs lower poorly on TPU, while
+    (H, H) @ (H, W*C) and (H*C, W) @ (W, W) land on the MXU at trivial
+    FLOP counts for these frame sizes."""
     sigma = 1.5
     half = window_size // 2
     x = jnp.arange(window_size, dtype=jnp.float32) - half
     g = jnp.exp(-(x**2) / (2 * sigma**2))
     g = g / jnp.sum(g)
 
+    if img1.ndim == 2:
+        h, w = img1.shape
+        c = 1
+    else:
+        h, w, c = img1.shape
+    bh = _band_matrix(h, g, half)       # vertical blur (applied from left)
+    bw = _band_matrix(w, g, half)       # horizontal (applied from right)
+
     def blur(img):
-        # (H, W, C) -> separable gaussian filter, SAME padding.
-        img_ = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
-        k_v = g.reshape(1, 1, window_size, 1)
-        k_h = g.reshape(1, 1, 1, window_size)
-        conv = lambda lhs, rhs: jax.lax.conv_general_dilated(
-            lhs, rhs, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        flat = img.reshape(h, w * c)
+        tmp = bh @ flat                                    # vertical
+        tmp = tmp.reshape(h, w, c) if c > 1 else tmp.reshape(h, w, 1)
+        # (H, W, C) -> (H, C, W): contract the W axis against bw.
+        t = jnp.transpose(tmp, (0, 2, 1)).reshape(h * c, w)
+        out = t @ bw
+        return jnp.transpose(out.reshape(h, c, w), (0, 2, 1)).reshape(
+            img.shape
         )
-        res = conv(conv(img_, k_v), k_h)
-        return jnp.moveaxis(res[:, 0], 0, -1)
 
     if img1.ndim == 2:
         img1 = img1[..., None]

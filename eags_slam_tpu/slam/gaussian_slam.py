@@ -84,10 +84,10 @@ class GaussianSLAM:
             # clip their DEEPEST entries (depth-sorted segments), so smaller
             # caps trade far-occluded contributions for ~linear kernel time.
             seg_cap=int(mc.get("seg_cap", 1024)),
-            # bf16 triangular matmuls in the compositing kernels: <=0.4%
-            # relative weight error, well under SGD noise; tests/CPU stay
-            # exact f32 (golden tolerances).
-            kernel_bf16=bool(mc.get("kernel_bf16", on_tpu)),
+            # bf16 kernel data path (tri matmuls + DMA storage): measured
+            # FLAT on this chip (PERF.md) while adding <=0.4% attr noise,
+            # so it defaults OFF; the flag stays for bandwidth-bound parts.
+            kernel_bf16=bool(mc.get("kernel_bf16", False)),
             kernel_quadform=bool(mc.get("kernel_quadform", False)),
         )
         self.mcfg = M.MapperConfig(

@@ -83,3 +83,54 @@ def test_masked_l1():
     gt = jnp.zeros((2, 2))
     mask = jnp.array([[1.0, 0.0], [0.0, 1.0]])
     assert abs(float(losses.masked_l1(pred, gt, mask)) - 2.5) < 1e-6
+
+
+def test_ssim_matches_conv_reference(rng):
+    """The banded-matmul separable blur is numerically the SAME-padded
+    separable convolution (reference losses.py windowed SSIM semantics)."""
+    import numpy as np
+
+    img1 = jnp.asarray(rng.uniform(0, 1, (37, 53, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 1, (37, 53, 3)).astype(np.float32))
+
+    def conv_ssim(a, b, window_size=11):
+        sigma, half = 1.5, window_size // 2
+        x = np.arange(window_size) - half
+        g = np.exp(-(x**2) / (2 * sigma**2))
+        g = (g / g.sum()).astype(np.float32)
+
+        def blur(img):
+            img = np.asarray(img)
+            out = np.zeros_like(img)
+            for k, gk in enumerate(g):
+                s = k - half
+                src = np.roll(img, -s, axis=0)
+                if s > 0:
+                    src[-s:] = 0
+                elif s < 0:
+                    src[:-s] = 0
+                out += gk * src
+            out2 = np.zeros_like(out)
+            for k, gk in enumerate(g):
+                s = k - half
+                src = np.roll(out, -s, axis=1)
+                if s > 0:
+                    src[:, -s:] = 0
+                elif s < 0:
+                    src[:, :-s] = 0
+                out2 += gk * src
+            return out2
+
+        mu1, mu2 = blur(a), blur(b)
+        s1 = np.maximum(blur(np.asarray(a) ** 2) - mu1**2, 0)
+        s2 = np.maximum(blur(np.asarray(b) ** 2) - mu2**2, 0)
+        s12 = blur(np.asarray(a) * np.asarray(b)) - mu1 * mu2
+        C1, C2 = 0.01**2, 0.03**2
+        m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+            (mu1**2 + mu2**2 + C1) * (s1 + s2 + C2)
+        )
+        return float(np.mean(np.clip(m, -1, 1)))
+
+    got = float(losses.ssim(img1, img2))
+    want = conv_ssim(img1, img2)
+    assert abs(got - want) < 2e-5, (got, want)
