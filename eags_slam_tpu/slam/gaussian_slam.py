@@ -145,10 +145,6 @@ class GaussianSLAM:
         import concurrent.futures
 
         self._vo_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        # Next-frame host->device upload overlapped with the current frame's
-        # compute (the tunneled device link moves ~20 MB/s; a frame pair is
-        # ~4 MB compressed => ~0.2 s hidden per frame).
-        self._upload_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self.odometer = None
         if self.odometry_type == "odometer" or tc.get(
             "help_camera_initialization", False
@@ -459,16 +455,20 @@ class GaussianSLAM:
     def run(self) -> Dict:
         n = len(self.dataset)
         t0 = time.perf_counter()
-        next_fut = None
+        next_data = None
         for frame_id in range(n):
-            if next_fut is None:
+            if next_data is None:
                 color_dev, depth_dev, c8_dev, gt_pose = self._fetch_frame(frame_id)
             else:
-                color_dev, depth_dev, c8_dev, gt_pose = next_fut.result()
+                color_dev, depth_dev, c8_dev, gt_pose = next_data
             if frame_id + 1 < n:
-                next_fut = self._upload_pool.submit(
-                    self._fetch_frame, frame_id + 1
-                )
+                # Enqueue the NEXT frame's host->device transfer now (async
+                # dispatch on the MAIN thread): the copies ride the tunnel
+                # ahead of when the data is needed. A worker-thread variant
+                # reliably crashed the tunneled TPU worker at frame 0 —
+                # device dispatch must stay single-threaded except for the
+                # VO pool's carefully-serialized window.
+                next_data = self._fetch_frame(frame_id + 1)
 
             t_track = time.perf_counter()
             if frame_id in (0, 1) or self.gt_camera:
@@ -601,6 +601,5 @@ class GaussianSLAM:
         self.dataset.close()
         self.logger.close()
         self._vo_pool.shutdown(wait=False)
-        self._upload_pool.shutdown(wait=False)
         if self.loop_closer is not None:
             self.loop_closer.shutdown()
