@@ -406,6 +406,13 @@ class Synthetic(BaseDataset):
             self.poses.append(c2w)
             self.timestamps.append(i / 30.0)
         self._frame_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        # Pre-render EVERY frame now, single-threaded, before the SLAM loop
+        # owns the device: lazy rendering from the preloader thread raced
+        # the main thread's device dispatch on the tunneled TPU backend and
+        # reproducibly crashed the remote worker (device access on this
+        # backend must stay single-threaded).
+        for i in range(len(self)):
+            self._load_raw(i)
 
     def _load_raw(self, idx):
         if idx in self._frame_cache:
