@@ -159,3 +159,23 @@ def test_sorted_quadform_matches_dense(rng):
         gs, gd = np.asarray(gs), np.asarray(gd)
         scale = max(np.abs(gd).max(), 1e-6)
         np.testing.assert_allclose(gs, gd, atol=5e-3 * scale, err_msg=name)
+
+
+def test_bf16_layout_roundtrip(rng):
+    """hi/lo bf16 packing reconstructs u/v/depth to ~2^-16 relative and the
+    single-bf16 rows to ~2^-8 (to_bf16_layout contract)."""
+    from eags_slam_tpu.ops.rasterizer_pallas_v2 import to_bf16_layout
+
+    x = jnp.asarray(rng.uniform(-1200, 1200, (16, 256)).astype(np.float32))
+    y = np.asarray(to_bf16_layout(x), np.float32)
+    u = y[0] + y[1]
+    v = y[2] + y[3]
+    d = y[11] + y[12]
+    xs = np.asarray(x)
+    assert np.max(np.abs(u - xs[0])) < 2e-4 * np.max(np.abs(xs[0]))
+    assert np.max(np.abs(v - xs[1])) < 2e-4 * np.max(np.abs(xs[1]))
+    assert np.max(np.abs(d - xs[9])) < 2e-4 * np.max(np.abs(xs[9]))
+    for packed, orig in ((4, 2), (5, 3), (6, 4), (7, 5), (8, 6), (9, 7),
+                         (10, 8), (13, 10)):
+        rel = np.max(np.abs(y[packed] - xs[orig])) / np.max(np.abs(xs[orig]))
+        assert rel < 5e-3, (packed, orig, rel)
