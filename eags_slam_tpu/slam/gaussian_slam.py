@@ -455,20 +455,15 @@ class GaussianSLAM:
     def run(self) -> Dict:
         n = len(self.dataset)
         t0 = time.perf_counter()
-        next_data = None
         for frame_id in range(n):
-            if next_data is None:
-                color_dev, depth_dev, c8_dev, gt_pose = self._fetch_frame(frame_id)
-            else:
-                color_dev, depth_dev, c8_dev, gt_pose = next_data
-            if frame_id + 1 < n:
-                # Enqueue the NEXT frame's host->device transfer now (async
-                # dispatch on the MAIN thread): the copies ride the tunnel
-                # ahead of when the data is needed. A worker-thread variant
-                # reliably crashed the tunneled TPU worker at frame 0 —
-                # device dispatch must stay single-threaded except for the
-                # VO pool's carefully-serialized window.
-                next_data = self._fetch_frame(frame_id + 1)
+            # Upload inline, consumed by the immediately-following dispatch.
+            # Prefetching the NEXT frame's transfer (worker thread or
+            # main-thread async) leaves a DMA in flight overlapping
+            # unrelated compute, which reproducibly crashed the tunneled
+            # TPU worker (4/4 bench attempts, 3 at the same fetch); the
+            # tunnel only tolerates transfers serialized against compute
+            # by data dependency.
+            color_dev, depth_dev, c8_dev, gt_pose = self._fetch_frame(frame_id)
 
             t_track = time.perf_counter()
             if frame_id in (0, 1) or self.gt_camera:
