@@ -112,5 +112,40 @@ def main():
     )
 
 
+def main_with_retries():
+    """Run the bench in a CHILD process and retry on TPU-worker crashes.
+
+    The tunneled TPU worker on this host crashes sporadically under
+    sustained load ("TPU worker process crashed" / "TPU device error");
+    once it happens the process's backend is dead, but the worker itself
+    recovers after a few minutes of idle. A fresh process then works, so
+    resilience = child process + idle backoff + retry."""
+    import subprocess
+    import time as _time
+
+    attempts = 4
+    for attempt in range(attempts):
+        env = dict(os.environ, EAGS_BENCH_INNER="1")
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)] + sys.argv[1:],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr[-4000:])
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        sys.stderr.write(
+            f"\n[bench] attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}); idling for worker recovery...\n"
+        )
+        if attempt < attempts - 1:
+            _time.sleep(300)
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("EAGS_BENCH_INNER"):
+        main()
+    else:
+        main_with_retries()
