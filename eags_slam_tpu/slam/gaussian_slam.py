@@ -158,6 +158,12 @@ class GaussianSLAM:
                 # resizes ScanNetPP to 640x480 for VO; the render tracker
                 # refines the pose regardless).
                 vo_cfg_dict["downscale_levels"] = 1
+            if "device" not in vo_cfg_dict and on_tpu:
+                # On the tunneled TPU the VO runs on the host CPU backend:
+                # the keyframe distance-transform program faulted the remote
+                # worker in 7/8 bench runs (pure-XLA program; backend bug),
+                # and the reference's REVO frontend is a CPU module anyway.
+                vo_cfg_dict["device"] = "cpu"
             self.odometer = EdgeVO(
                 VOConfig.from_dict(vo_cfg_dict),
                 self.dataset.full_camera,
@@ -423,13 +429,19 @@ class GaussianSLAM:
         c8_dev = jnp.asarray(c8)
         color_dev = c8_dev.astype(jnp.float32) / 255.0
         depth_dev = jnp.asarray(d16).astype(jnp.float32)
+        # Host copies for a CPU-pinned VO (avoids device->host fetches).
+        self._host_frame = (c8, d16.astype(np.float32))
         return color_dev, depth_dev, c8_dev
 
     def _vo_inputs(self, frame_id, c8_dev, depth_dev):
         """VO frame input: the shared device arrays when the map frame IS
         the origin frame (crop_edge 0), else the host origin image (the VO
-        tracks the UNCROPPED frame, reference datasets.py:66-76)."""
+        tracks the UNCROPPED frame, reference datasets.py:66-76). A
+        CPU-pinned VO gets the HOST copies instead (feeding it tunneled
+        device arrays would fetch ~4 MB/frame back through the link)."""
         if getattr(self.dataset, "crop_edge", 0) == 0:
+            if self.odometer is not None and self.odometer.on_cpu:
+                return self._host_frame
             return c8_dev, depth_dev
         return self.dataset.get_origin_image(frame_id)
 

@@ -213,6 +213,7 @@ class EdgeVO:
                 self._device = jax.devices("cpu")[0]
             except RuntimeError:
                 self._device = None  # cpu backend unavailable: inherit
+
         self.keyframes: List[_Keyframe] = []
         # pose graph: per frame (kf_index, T_kf_frame f64)
         self.graph: List[tuple] = []
@@ -222,6 +223,10 @@ class EdgeVO:
         self.track_times: List[float] = []
         self.dt_times: List[float] = []
         self._start_pose = np.eye(4)
+
+    @property
+    def on_cpu(self) -> bool:
+        return self._device is not None
 
     # -- pose graph ---------------------------------------------------------
     def _world_pose(self, frame_id: int) -> np.ndarray:
