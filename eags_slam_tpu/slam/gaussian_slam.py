@@ -145,6 +145,7 @@ class GaussianSLAM:
         import concurrent.futures
 
         self._vo_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._vo_next = None  # (frame_id, future): pipelined VO step
         self.odometer = None
         if self.odometry_type == "odometer" or tc.get(
             "help_camera_initialization", False
@@ -445,6 +446,37 @@ class GaussianSLAM:
             return c8_dev, depth_dev
         return self.dataset.get_origin_image(frame_id)
 
+    def _vo_host_inputs(self, frame_id):
+        """Host-side VO inputs for PIPELINED submission (frame not uploaded
+        yet; the preloader has the host arrays)."""
+        if getattr(self.dataset, "crop_edge", 0) == 0:
+            _, color, depth, _ = self.dataset[frame_id]
+            c8 = np.clip(np.asarray(color) * 255.0 + 0.5, 0, 255).astype(
+                np.uint8
+            )
+            return c8, np.asarray(depth, np.float32)
+        return self.dataset.get_origin_image(frame_id)
+
+    def _submit_vo_next(self, frame_id: int, n: int):
+        """Pipeline the NEXT frame's VO step one frame ahead (reference P2
+        only overlapped the CURRENT step with candidate prep; a CPU-pinned
+        VO can instead run across this frame's mapping and the next frame's
+        upload, hiding its full ~0.5-1 s). Only safe when the VO is on the
+        host CPU backend: its programs never touch the tunneled device, so
+        the worker thread cannot race main-thread device dispatch. Must be
+        called AFTER set_pose(frame_id, ...) so the step sees the corrected
+        pose chain."""
+        if (self.odometer is None or not self.odometer.on_cpu
+                or frame_id + 1 >= n):
+            return
+        nxt = frame_id + 1
+        rgb, d = self._vo_host_inputs(nxt)
+        self._vo_next = (
+            nxt,
+            self._vo_pool.submit(self.odometer.step, rgb, d,
+                                 self.dataset.timestamps[nxt]),
+        )
+
     def _apply_lc_corrections(self):
         """Apply pending LC correction transforms to the LIVE pose array.
 
@@ -482,21 +514,36 @@ class GaussianSLAM:
                 # Frames 0/1 use GT pose (reference :198-206).
                 self.estimated_c2ws[frame_id] = gt_pose
                 if self.odometer is not None:
-                    rgb0, d0 = self._vo_inputs(frame_id, c8_dev, depth_dev)
-                    if frame_id == 0:
-                        self.odometer.set_pose(0, gt_pose)
-                    self.odometer.step(rgb0, d0, self.dataset.timestamps[frame_id])
+                    pending = getattr(self, "_vo_next", None)
+                    if pending is not None and pending[0] == frame_id:
+                        pending[1].result()  # pipelined step already ran
+                        self._vo_next = None
+                    else:
+                        rgb0, d0 = self._vo_inputs(frame_id, c8_dev, depth_dev)
+                        if frame_id == 0:
+                            self.odometer.set_pose(0, gt_pose)
+                        self.odometer.step(
+                            rgb0, d0, self.dataset.timestamps[frame_id]
+                        )
                     self.odometer.set_pose(frame_id, gt_pose)
+                    self._submit_vo_next(frame_id, n)
             else:
                 # VO step dispatched concurrently with candidate prep
-                # (reference P2: 1-worker future, tracker.py:199-202).
+                # (reference P2: 1-worker future, tracker.py:199-202), or
+                # already in flight since the previous frame (pipelined,
+                # see _submit_vo_next).
                 vo_future = None
                 if self.odometer is not None:
-                    rgb0, d0 = self._vo_inputs(frame_id, c8_dev, depth_dev)
-                    vo_future = self._vo_pool.submit(
-                        self.odometer.step, rgb0, d0,
-                        self.dataset.timestamps[frame_id],
-                    )
+                    pending = getattr(self, "_vo_next", None)
+                    if pending is not None and pending[0] == frame_id:
+                        vo_future = pending[1]
+                        self._vo_next = None
+                    else:
+                        rgb0, d0 = self._vo_inputs(frame_id, c8_dev, depth_dev)
+                        vo_future = self._vo_pool.submit(
+                            self.odometer.step, rgb0, d0,
+                            self.dataset.timestamps[frame_id],
+                        )
                 # Host numpy: a 4x4 chain is not worth a device round trip.
                 p1 = self.estimated_c2ws[frame_id - 1]
                 p2 = self.estimated_c2ws[frame_id - 2]
@@ -524,6 +571,7 @@ class GaussianSLAM:
                 self.exposures_ab[frame_id] = np.asarray(exposure)
                 if self.odometer is not None:
                     self.odometer.set_pose(frame_id, c2w)
+                    self._submit_vo_next(frame_id, n)
                 stats["vo_wait_ms"] = vo_wait_ms
                 self.logger.log_tracking(
                     frame_id, {k: float(v) for k, v in stats.items()}

@@ -65,3 +65,37 @@ def test_outputs_and_evaluator(slam_run):
     assert results["trajectory"]["ate"]["rmse"] < 0.05
     assert results["rendering"]["mean_psnr"] > 20.0
     assert results["rendering"]["num_views"] > 0
+
+
+def test_e2e_with_pipelined_cpu_vo(tmp_path):
+    """Edge-VO in the loop with the CPU-pinned, one-frame-ahead pipelined
+    odometer (the bench/tunneled-TPU configuration): the run completes and
+    the trajectory stays sane, and the odometer candidate actually wins
+    frames (it is being consumed, not recomputed)."""
+    config = load_config("configs/synthetic/base.yaml")
+    config["data"]["output_path"] = str(tmp_path / "out")
+    config["data"]["n_frames"] = 8
+    config["cam"].update({"H": 64, "W": 96, "fx": 80.0, "fy": 80.0,
+                          "cx": 47.5, "cy": 31.5})
+    config["mapping"].update({
+        "new_submap_every": 8, "iterations": 40, "new_submap_iterations": 80,
+        "max_gaussians": 8192, "new_submap_points_num": 2000,
+        "new_submap_gradient_points_num": 500, "new_frame_sample_size": 500,
+    })
+    config["tracking"].update({"iterations": 15, "odometry_type": "odometer"})
+    config["vo"] = {"device": "cpu", "max_edge_points": 1024}
+    gslam = GaussianSLAM(config)
+    try:
+        report = gslam.run()
+    finally:
+        gslam.cleanup()
+    assert gslam.odometer is not None and gslam.odometer.on_cpu
+    assert report["frames"] == 8
+    ds = gslam.dataset
+    gt = np.stack([ds.poses[i] for i in range(len(ds))])
+    err = np.linalg.norm(
+        gslam.estimated_c2ws[:, :3, 3] - gt[:, :3, 3], axis=-1
+    )
+    assert err.max() < 0.06, err
+    cnt = report["tracker"]["init_pose_cnt"]
+    assert sum(cnt.values()) == 6  # frames 2..7 tracked
