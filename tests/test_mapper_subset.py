@@ -74,7 +74,10 @@ def test_subset_matches_full_psnr_at_visit_parity(scene):
     after rasterizer v2), so `tile_subset` defaults to 0.
     """
     color, depth = scene
-    mc_full = M.MapperConfig(max_keyframes=4, tile_subset=0)
+    # kf_block=0 on BOTH sides: the claim is subset-vs-full under the SAME
+    # (per-iteration-sampling) schedule; the resident-sorted path converges
+    # slightly better at equal iterations and would skew the baseline.
+    mc_full = M.MapperConfig(max_keyframes=4, tile_subset=0, kf_block=0)
     mc_sub = M.MapperConfig(max_keyframes=4, tile_subset=8)  # 8 of 24 tiles
 
     s_full = _optimize(_seeded_state(color, depth), color, depth, mc_full,
