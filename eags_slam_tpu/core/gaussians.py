@@ -286,6 +286,44 @@ def concat_rows(a: GaussianParams, b: GaussianParams) -> GaussianParams:
 _BUCKETS = (1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 18, 1 << 19)
 
 
+def bucket_for(n: int, cap: int) -> int:
+    """Smallest static bucket >= n, clamped to the configured capacity."""
+    bucket = next((b for b in _BUCKETS if b >= max(n, 1)), cap)
+    return min(bucket, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
+def _expand_state_jit(state: GaussianState, new_capacity: int) -> GaussianState:
+    old = state.alive.shape[0]
+    pad_params = empty_params(new_capacity - old)
+
+    def cat(a, b):
+        return jnp.concatenate([a, b], axis=0)
+
+    params = jax.tree.map(cat, state.params, pad_params)
+    alive = cat(state.alive, jnp.zeros((new_capacity - old,), bool))
+    pad_opt = opt_subset(pad_params)
+    zeros = jax.tree.map(jnp.zeros_like, pad_opt)
+    adam = optim.AdamState(
+        state.adam.step,
+        jax.tree.map(cat, state.adam.mu, zeros),
+        jax.tree.map(cat, state.adam.nu, zeros),
+        jax.tree.map(cat, state.adam.vmax, zeros),
+    )
+    return GaussianState(params, alive, adam)
+
+
+def expand_state(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Grow the submap state to a larger static capacity (adaptive-capacity
+    submaps: the state lives at the smallest bucket that fits its alive
+    count + incoming rows, so every per-frame program — tracking render,
+    seeding, optimization — scales with the ACTUAL map size instead of the
+    max_gaussians budget, with no per-frame compaction gathers)."""
+    if new_capacity <= state.alive.shape[0]:
+        return state
+    return _expand_state_jit(state, new_capacity)
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _gather_alive(params: GaussianParams, alive: jnp.ndarray, m: int):
     cap = alive.shape[0]

@@ -223,6 +223,17 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray):
     return val, in_b
 
 
+def unpack_mask_bits(bits: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Expand an np.packbits-packed (H, ceil(W/8)) uint8 mask to (H, W) bool.
+
+    Host->device edge-mask uploads travel bit-packed (~100 KB instead of
+    ~800 KB of bool bytes on the ~20 MB/s tunneled link); np.packbits uses
+    big-endian bit order within each byte."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    b = (bits[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return b.reshape(h, -1)[:, :w].astype(bool)
+
+
 def gradient_sample_probs(gray: jnp.ndarray) -> jnp.ndarray:
     """Pixel sampling distribution proportional to |grad| (reference
     gradient-probability sampling, mapper_utils.py:169-190)."""

@@ -26,7 +26,6 @@ from ..config import save_config
 from ..core import gaussians as G
 from ..core.camera import Camera
 from ..datasets import get_dataset
-from ..ops.image import canny, dilate, rgb_to_gray
 from ..ops.rasterizer import RasterConfig
 from . import mapper as M
 from .logger import Logger
@@ -202,7 +201,10 @@ class GaussianSLAM:
         save_config(self.config, os.path.join(self.output_path, "config.yaml"))
 
     def _new_submap(self):
-        self.state = G.empty_state(self.capacity)
+        # Adaptive capacity: the state lives at the smallest bucket that
+        # fits (core.gaussians.expand_state grows it before insertion), so
+        # tracking/seeding/optimization all scale with the actual map size.
+        self.state = G.empty_state(G.bucket_for(1, self.capacity))
         self.kfs = M.empty_keyframes(self.mcfg.max_keyframes, self.cam)
         self.n_kf = 0  # permanent keyframes in slots 1..n_kf
         self._n_alive = 0
@@ -260,9 +262,10 @@ class GaussianSLAM:
         self._new_submap()
 
     # ------------------------------------------------------------------
-    def _edge_image(self, frame_id: int, gray255: jnp.ndarray) -> jnp.ndarray:
-        """Edge image for seeding: VO keyframe edges when available, Canny
-        fallback (reference gaussian_slam.py:246-253)."""
+    def _edge_bits(self, frame_id: int):
+        """Bit-packed VO edge mask for seeding, or None for the Canny
+        fallback (reference gaussian_slam.py:246-253). Packing keeps the
+        host->device edge upload at ~100 KB on the slow tunneled link."""
         if self.odometer is not None:
             e = self.odometer.get_edge_image(frame_id)
             if e is not None:
@@ -278,8 +281,8 @@ class GaussianSLAM:
                 if c:
                     e = e[c:-c, c:-c]
                 if e.shape == (self.cam.height, self.cam.width):
-                    return jnp.asarray(e)
-        return canny(gray255, 100.0, 200.0)
+                    return jnp.asarray(np.packbits(e, axis=1))
+        return None
 
     def map_frame(self, frame_id: int, color_np, depth_np, is_new_submap: bool):
         import jax
@@ -299,84 +302,51 @@ class GaussianSLAM:
         _tick("t0")
         c2w = self.estimated_c2ws[frame_id]
         w2c32 = jnp.asarray(np.linalg.inv(c2w), dtype=jnp.float32)
+        c2w32 = jnp.asarray(c2w, dtype=jnp.float32)
         gt_color = jnp.asarray(color_np)
         gt_depth = jnp.asarray(depth_np)
-        gray255 = rgb_to_gray(gt_color) * 255.0
-        edge_img = self._edge_image(frame_id, gray255)
-        edge_b = edge_img.at[0].set(False).at[-1].set(False)
-        edge_b = edge_b.at[:, 0].set(False).at[:, -1].set(False)
-        _tick("edges", edge_b)
 
-        # 1. seeding mask (reference mapper.py:299-314)
-        if is_new_submap:
-            seeding_mask = dilate(edge_b, self.mcfg.edge_dilate)
-        else:
-            seeding_mask = M.seeding_mask_update(
-                self.state.params, self.state.alive, w2c32, gt_depth,
-                self.cam, self.rcfg, self.mcfg.alpha_thre,
+        # 1. ONE dispatch for the whole seeding path: edges -> mask ->
+        # sampling -> backprojection -> dedup + scale-init -> rows
+        # (mapper.seed_rows; round 2 ran ~5 dispatches + brute-force NN).
+        edge_bits = self._edge_bits(frame_id)
+        use_canny = edge_bits is None
+        if use_canny:
+            wb = -(-self.cam.width // 8)
+            edge_bits = self._zero_edge_bits = getattr(
+                self, "_zero_edge_bits",
+                jnp.zeros((self.cam.height, wb), jnp.uint8),
             )
-        _tick("seed_mask", seeding_mask)
+        rows, row_valid, n_valid, seeding_mask = M.seed_rows(
+            self.state.params, self.state.alive, jnp.asarray(self._key()),
+            gt_color, gt_depth, c2w32, w2c32, edge_bits,
+            self.cam, self.rcfg, self.mcfg, is_new_submap, use_canny,
+            True, self.mcfg.outlier_removal and not is_new_submap,
+        )
+        n_valid = int(jax.device_get(n_valid))
+        _tick("seed")
 
-        # 2. sample seed pixels
-        ids, valid = M.sample_seed_ids(
-            jnp.asarray(self._key()), seeding_mask, gt_depth, gray255,
-            self.mcfg.new_submap_points_num,
-            self.mcfg.new_submap_gradient_points_num,
-            self.mcfg.new_frame_sample_size,
-            is_new_submap,
-        )
-        _tick("sample", valid)
+        # 2. grow the static capacity if the incoming rows need it.
+        if self._n_alive + n_valid > self.state.alive.shape[0]:
+            self.state = G.expand_state(
+                self.state, G.bucket_for(self._n_alive + n_valid, self.capacity)
+            )
 
-        # 3. grow submap
-        pts_w, rgbs = M.backproject_world(
-            gt_color, gt_depth, jnp.asarray(c2w, dtype=jnp.float32), self.cam
-        )
-        self.state, n_added = M.grow_submap(
-            self.state, jnp.asarray(self._key()), ids, valid, pts_w, rgbs,
-            edge_b, gt_depth, self.mcfg.new_points_radius, self.cam,
-            self.cam.height, self.cam.width, True,
-            self.mcfg.outlier_removal and not is_new_submap,
-        )
-        # One round trip for both host-needed counts.
-        n_added, n_post_grow = jax.device_get(
-            (n_added, G.num_alive(self.state))
-        )
-        _tick("grow")
-
-        # 4. optimize (current frame in slot 0), on a bucket-compacted state
-        # so the per-iteration render cost follows the alive count
-        # (core.gaussians.compact_state).
+        # 3. insert + optimize (current frame in keyframe slot 0) — the
+        # second and last dispatch of the mapped frame.
         exposure = jnp.asarray(self.exposures_ab[frame_id], dtype=jnp.float32)
         self.kfs = M.push_keyframe(self.kfs, 0, gt_color, gt_depth, w2c32, exposure)
         iters = (
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
-        packed, idx = G.compact_state(self.state, int(n_post_grow))
-        _tick("compact", packed.alive)
-        packed, opt = M.optimize_submap(
-            packed, self.kfs, jnp.asarray(self.n_kf + 1, jnp.int32),
-            jnp.asarray(self._key()), iters, self.cam, self.rcfg, self.mcfg,
-            mesh=self.mesh,
+        self.state, n_added, losses, n_alive = M.insert_and_optimize(
+            self.state, rows, row_valid, self.kfs,
+            jnp.asarray(self.n_kf + 1, jnp.int32), jnp.asarray(self._key()),
+            iters, self.cam, self.rcfg, self.mcfg, mesh=self.mesh,
         )
-        _tick("optimize", opt["losses"])
-        if idx is None:
-            self.state = packed
-        else:
-            self.state = G.scatter_state(self.state, packed, idx)
-        if prof:
-            _tick("scatter", self.state.alive)
-            keys = list(stages)
-            deltas = {
-                f"{keys[i]}_ms": round(
-                    1e3 * (stages[keys[i]] - stages[keys[i - 1]]), 1
-                )
-                for i in range(1, len(keys))
-            }
-            deltas["n_post_grow"] = int(n_post_grow)
-            deltas["iters"] = int(iters)
-            self.logger.log("map_profile", deltas)
+        _tick("optimize", losses)
 
-        # 5. make the current frame a permanent keyframe
+        # 4. make the current frame a permanent keyframe
         if self.n_kf + 1 < self.mcfg.max_keyframes:
             self.n_kf += 1
             self.kfs = M.push_keyframe(
@@ -392,10 +362,23 @@ class GaussianSLAM:
                  "max_keyframes": self.mcfg.max_keyframes},
             )
         self.submap_kf_frame_ids.append(frame_id)
-        final_loss, n_alive = jax.device_get(
-            (opt["losses"][-1, 0], G.num_alive(self.state))
+        n_added, final_loss, n_alive = jax.device_get(
+            (n_added, losses[-1, 0], n_alive)
         )
         self._n_alive = int(n_alive)
+        if prof:
+            _tick("fetch")
+            keys = list(stages)
+            deltas = {
+                f"{keys[i]}_ms": round(
+                    1e3 * (stages[keys[i]] - stages[keys[i - 1]]), 1
+                )
+                for i in range(1, len(keys))
+            }
+            deltas["n_valid"] = int(n_valid)
+            deltas["n_alive"] = int(n_alive)
+            deltas["iters"] = int(iters)
+            self.logger.log("map_profile", deltas)
 
         # Mapping visualization panel every 10 keyframes (reference
         # logger.py:116-199 saves 2x3 panels; verbose-gated inside).
@@ -558,12 +541,12 @@ class GaussianSLAM:
                         candidates["odometer"] = vo_c2w
                 vo_wait_ms = 1e3 * (time.perf_counter() - t_vo)
 
-                # Tracking reads the map but never writes it: hand the
-                # tracker a bucket-compacted view so its render cost scales
-                # with the alive count, not the submap capacity.
-                t_params, t_alive = G.compact_view(self.state, self._n_alive)
+                # Tracking reads the map but never writes it; the state
+                # already lives at the smallest capacity bucket that fits
+                # the alive count (adaptive capacity, _new_submap), so no
+                # per-frame compaction gather is needed.
                 c2w, exposure, stats = self.tracker.track(
-                    t_params, t_alive,
+                    self.state.params, self.state.alive,
                     self.estimated_c2ws[frame_id - 1], candidates,
                     color_dev, depth_dev,
                 )

@@ -57,6 +57,10 @@ class MapperConfig(NamedTuple):
     lambda_dssim: float = 0.2
     outlier_removal: bool = False       # TUM/ScanNet statistical filter
     max_keyframes: int = 32
+    # Growth NN backend: "morton" = fused sorted-window dedup + scale-init
+    # (ops.knn.morton_window_nn, ~tens of ms); "brute" = exact chunked
+    # matmul passes (0.5-1.1 s/mapped frame at bench shapes on the v5e).
+    nn_backend: str = "morton"
     # Tile-subset stochastic mapping (PERF.md roadmap): optimize a random
     # subset of tiles per iteration; 0 disables (full image). Only active on
     # the sorted backend; the gradient is an unbiased estimate of the
@@ -210,39 +214,49 @@ def backproject_world(gt_color, gt_depth, c2w, cam: Camera):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "height", "width", "use_edge", "outlier"))
-def grow_submap(
-    state: GaussianState,
-    key,
+def _build_rows(
+    map_xyz, map_alive,
     sample_ids, sample_valid,
     all_pts_w, all_rgb,
     edge_img, gt_depth,
     radius: float,
-    cam: Camera, height: int, width: int,
+    height: int, width: int,
     use_edge: bool, outlier: bool,
-    depth_thres: float = 0.025,
-) -> Tuple[GaussianState, jnp.ndarray]:
-    """Dedup new samples vs the submap, optional outlier filter, then insert
-    point gaussians (+ edge gaussians when an edge image is available)."""
+    depth_thres: float,
+    nn_backend: str,
+) -> Tuple[GaussianParams, jnp.ndarray]:
+    """Candidate gaussian rows for insertion: dedup vs the submap, optional
+    outlier filter, kNN scale init, point + edge rows (shared by
+    `grow_submap` and the fused `seed_rows`)."""
     cand = all_pts_w[sample_ids]
-    keep = knn.radius_dedup(
-        cand, sample_valid, state.params.xyz, state.alive, radius
-    )
-    if outlier:
-        keep = keep & knn.statistical_inlier_mask(cand, keep, nb=20)
-    sample_valid = keep
+    if nn_backend == "morton":
+        # One fused pass computes dedup AND the scale-init kNN. Deviation
+        # from the reference's order (dedup first, then distCUDA2 over the
+        # FILTERED union, gaussian_model.py:251-255): dedup-dropped rows
+        # still count as kNN neighbors here; they lie within `radius` of a
+        # kept point, so the estimate shifts by at most O(radius).
+        keep, dist2 = knn.morton_window_nn(
+            cand, sample_valid, map_xyz, map_alive, radius
+        )
+        if outlier:
+            keep = keep & knn.statistical_inlier_mask(cand, keep, nb=20)
+        sample_valid = keep
+    else:
+        keep = knn.radius_dedup(cand, sample_valid, map_xyz, map_alive, radius)
+        if outlier:
+            keep = keep & knn.statistical_inlier_mask(cand, keep, nb=20)
+        sample_valid = keep
 
-    # Scale init: kNN over (alive submap + new samples), like the reference's
-    # global_scale_init distCUDA2 over the concatenated cloud (:251-255) —
-    # computed for the CANDIDATE rows only (query-vs-union), not the full
-    # union x union square.
-    union_pts = jnp.concatenate([state.params.xyz, cand], axis=0)
-    union_mask = jnp.concatenate([state.alive, sample_valid], axis=0)
-    dist2 = knn.mean_sq_dist_knn_query(
-        cand, sample_valid, union_pts, union_mask,
-        self_offset=state.params.xyz.shape[0],
-    )
+        # Scale init: kNN over (alive submap + new samples), like the
+        # reference's global_scale_init distCUDA2 over the concatenated
+        # cloud (:251-255) — computed for the CANDIDATE rows only
+        # (query-vs-union), not the full union x union square.
+        union_pts = jnp.concatenate([map_xyz, cand], axis=0)
+        union_mask = jnp.concatenate([map_alive, sample_valid], axis=0)
+        dist2 = knn.mean_sq_dist_knn_query(
+            cand, sample_valid, union_pts, union_mask,
+            self_offset=map_xyz.shape[0],
+        )
 
     if use_edge:
         (_, _, pair_valid, exyz, ergb, elog_s, equat, member) = edge_pair_seeds(
@@ -259,8 +273,92 @@ def grow_submap(
         rows = point_rows(cand, all_rgb[sample_ids], dist2,
                           jnp.full(sample_ids.shape, 0.5))
         valid = sample_valid
+    return rows, valid
 
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "height", "width", "use_edge", "outlier"))
+def grow_submap(
+    state: GaussianState,
+    key,
+    sample_ids, sample_valid,
+    all_pts_w, all_rgb,
+    edge_img, gt_depth,
+    radius: float,
+    cam: Camera, height: int, width: int,
+    use_edge: bool, outlier: bool,
+    depth_thres: float = 0.025,
+) -> Tuple[GaussianState, jnp.ndarray]:
+    """Dedup new samples vs the submap, optional outlier filter, then insert
+    point gaussians (+ edge gaussians when an edge image is available).
+    Exact (brute-force) NN semantics; the pipeline path is `seed_rows` +
+    `insert_and_optimize`."""
+    rows, valid = _build_rows(
+        state.params.xyz, state.alive, sample_ids, sample_valid,
+        all_pts_w, all_rgb, edge_img, gt_depth, radius, height, width,
+        use_edge, outlier, depth_thres, nn_backend="brute",
+    )
     return insert(state, rows, valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "rcfg", "mcfg", "is_new", "use_canny", "use_edge",
+                     "outlier"),
+)
+def seed_rows(
+    params: GaussianParams, alive, key, gt_color, gt_depth, c2w, w2c,
+    edge_bits, cam: Camera, rcfg: RasterConfig, mcfg: MapperConfig,
+    is_new: bool, use_canny: bool, use_edge: bool = True,
+    outlier: bool = False,
+):
+    """The WHOLE pre-optimization mapped-frame path in ONE dispatch.
+
+    Fuses seeding-mask computation (render-based update mask or dilated
+    edges, reference mapper.py:299-314), seed-pixel sampling (:317-334),
+    backprojection (:318), radius dedup + scale-init kNN
+    (mapper_utils.py:193-226 / gaussian_model.py:251-255) and candidate row
+    assembly. Round 2 ran these as ~5 separate dispatches on a tunnel with
+    a ~35 ms dispatch floor plus 0.5-1.1 s of brute-force NN (VERDICT r2
+    next #1); this is one dispatch whose output feeds `insert_and_optimize`.
+
+    `edge_bits`: np.packbits-packed (H, ceil(W/8)) uint8 VO edge mask (used
+    when use_canny=False); with use_canny=True the Canny fallback runs
+    in-graph and `edge_bits` is ignored.
+
+    Returns (rows, valid, n_valid, seeding_mask); the host fetches
+    `n_valid` to pick the insertion bucket (core.gaussians.expand_state).
+    """
+    from ..ops.image import canny, rgb_to_gray, unpack_mask_bits
+
+    gray255 = rgb_to_gray(gt_color) * 255.0
+    if use_canny:
+        edge_b = canny(gray255, 100.0, 200.0)
+    else:
+        edge_b = unpack_mask_bits(edge_bits, cam.height, cam.width)
+    edge_b = edge_b.at[0].set(False).at[-1].set(False)
+    edge_b = edge_b.at[:, 0].set(False).at[:, -1].set(False)
+
+    if is_new:
+        seeding_mask = dilate(edge_b, mcfg.edge_dilate)
+    else:
+        seeding_mask = seeding_mask_update(
+            params, alive, w2c, gt_depth, cam, rcfg, mcfg.alpha_thre
+        )
+
+    ids, valid = sample_seed_ids(
+        key, seeding_mask, gt_depth, gray255,
+        mcfg.new_submap_points_num, mcfg.new_submap_gradient_points_num,
+        mcfg.new_frame_sample_size, is_new,
+    )
+    pts_w, rgbs = backproject_world(gt_color, gt_depth, c2w, cam)
+    rows, row_valid = _build_rows(
+        params.xyz, alive, ids, valid, pts_w, rgbs, edge_b, gt_depth,
+        mcfg.new_points_radius, cam.height, cam.width, use_edge, outlier,
+        mcfg.depth_thres, mcfg.nn_backend,
+    )
+    n_valid = jnp.sum(row_valid.astype(jnp.int32))
+    return rows, row_valid, n_valid, seeding_mask
 
 
 # ---------------------------------------------------------------------------
@@ -503,9 +601,7 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
     return opt, adam, alive, book, final.it, final.losses
 
 
-@functools.partial(
-    jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg", "mesh"))
-def optimize_submap(
+def _optimize_core(
     state: GaussianState,
     kfs: KeyframeBatch,
     n_kf,
@@ -516,7 +612,7 @@ def optimize_submap(
     mcfg: MapperConfig,
     mesh=None,
 ) -> Tuple[GaussianState, dict]:
-    """Jitted optimization scan. Keyframe 0 is the current frame.
+    """Submap optimization body. Keyframe 0 is the current frame.
 
     Per iteration (reference mapper.py:143-214): sample keyframe (first 5
     iters pinned to the current frame), render, loss = (1-lambda) L1_masked +
@@ -769,3 +865,48 @@ def optimize_submap(
         params=_merge(frozen, opt), alive=alive, adam=adam
     )
     return new_state, {"losses": losses}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg", "mesh"))
+def optimize_submap(
+    state: GaussianState,
+    kfs: KeyframeBatch,
+    n_kf,
+    key,
+    iterations: int,
+    cam: Camera,
+    rcfg: RasterConfig,
+    mcfg: MapperConfig,
+    mesh=None,
+) -> Tuple[GaussianState, dict]:
+    """Jitted submap optimization (see `_optimize_core`)."""
+    return _optimize_core(state, kfs, n_kf, key, iterations, cam, rcfg, mcfg,
+                          mesh)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg", "mesh"))
+def insert_and_optimize(
+    state: GaussianState,
+    rows: GaussianParams,
+    valid,
+    kfs: KeyframeBatch,
+    n_kf,
+    key,
+    iterations: int,
+    cam: Camera,
+    rcfg: RasterConfig,
+    mcfg: MapperConfig,
+    mesh=None,
+):
+    """Insert `seed_rows` output into the submap, then optimize — the second
+    (and last) device dispatch of a mapped frame. Returns
+    (state, n_added, losses, n_alive); the caller fetches the scalars in one
+    round trip (reference map flow: mapper.py:262-399)."""
+    from ..core.gaussians import num_alive
+
+    state, n_added = insert(state, rows, valid)
+    new_state, aux = _optimize_core(state, kfs, n_kf, key, iterations, cam,
+                                    rcfg, mcfg, mesh)
+    return new_state, n_added, aux["losses"], num_alive(new_state)

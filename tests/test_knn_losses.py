@@ -134,3 +134,68 @@ def test_ssim_matches_conv_reference(rng):
     got = float(losses.ssim(img1, img2))
     want = conv_ssim(img1, img2)
     assert abs(got - want) < 2e-5, (got, want)
+
+
+def test_morton_window_nn_vs_brute(rng):
+    """The Morton-window NN must (a) never over-drop vs the exact dedup
+    rule, (b) never under-estimate the k-NN distance, (c) be near-exact at
+    the median on surface-like clouds (the mapper growth regime)."""
+    # Surface-like cloud: pixel backprojections of a wavy depth map.
+    depth = 2.0 + 0.3 * np.sin(np.linspace(0, 6, 60))[None, :] * np.ones((40, 1))
+    u, v = np.meshgrid(np.arange(60), np.arange(40))
+    pts = np.stack(
+        [(u - 30) / 50 * depth, (v - 20) / 50 * depth, depth], -1
+    ).reshape(-1, 3).astype(np.float32)
+    cand = pts[rng.choice(len(pts), 600, replace=False)]
+    cmask = np.ones(600, bool)
+    cmask[580:] = False
+    ex = pts[rng.choice(len(pts), 1200, replace=False)] + rng.normal(
+        scale=1e-3, size=(1200, 3)
+    ).astype(np.float32)
+    emask = np.ones(1200, bool)
+
+    keep_m, d2_m = knn.morton_window_nn(
+        jnp.asarray(cand), jnp.asarray(cmask), jnp.asarray(ex),
+        jnp.asarray(emask), 0.01,
+    )
+    keep_b = np.asarray(
+        knn.radius_dedup(jnp.asarray(cand), jnp.asarray(cmask),
+                         jnp.asarray(ex), jnp.asarray(emask), 0.01, chunk=128)
+    )
+    union = jnp.asarray(np.concatenate([ex, cand]))
+    umask = jnp.asarray(np.concatenate([emask, cmask]))
+    d2_b = np.asarray(
+        knn.mean_sq_dist_knn_query(jnp.asarray(cand), jnp.asarray(cmask),
+                                   union, umask, self_offset=1200, chunk=128)
+    )
+    keep_m, d2_m = np.asarray(keep_m), np.asarray(d2_m)
+    # (a) conservative dedup: never drops what the exact rule keeps.
+    assert ((~keep_m) & keep_b).sum() == 0
+    # window miss keeps extra candidates only rarely
+    assert (keep_m & ~keep_b).mean() < 0.05
+    # (b/c) kNN estimate: no underestimates; tight at the median.
+    ratio = d2_m[cmask] / np.maximum(d2_b[cmask], 1e-12)
+    assert ratio.min() > 0.999
+    assert np.median(ratio) < 1.05
+    assert np.percentile(ratio, 90) < 2.5
+
+
+def test_morton_window_nn_exact_duplicates():
+    """Coincident candidates must be deduped against existing points and
+    against lower-index candidates (reference index-priority rule)."""
+    ex = jnp.asarray(np.array([[1.0, 2.0, 3.0]], np.float32))
+    cand = jnp.asarray(
+        np.array(
+            [
+                [1.0, 2.0, 3.0],   # dup of existing -> drop
+                [4.0, 5.0, 6.0],   # keep
+                [4.0, 5.0, 6.0],   # dup of candidate 1 -> drop
+                [7.0, 8.0, 9.0],   # keep
+            ],
+            np.float32,
+        )
+    )
+    keep, _ = knn.morton_window_nn(
+        cand, jnp.ones(4, bool), ex, jnp.ones(1, bool), 1e-7
+    )
+    assert np.asarray(keep).tolist() == [False, True, False, True]
