@@ -57,7 +57,18 @@ def global_descriptor(rgb: jnp.ndarray, dim: int = 1024) -> jnp.ndarray:
     color_grid = _resize_avg(small, 8, 8).reshape(-1)          # 192
     gray_grid = _resize_avg(gray, 8, 8).reshape(-1) / 255.0    # 64
     layout = _resize_avg(gray, 4, 4).reshape(-1) / 255.0       # 16
-    feats = jnp.concatenate([hog, color_grid, gray_grid, layout])
+
+    def center(f):
+        # Positive-only feature blocks share a large DC component, pushing
+        # the cosine similarity of ANY two images toward ~0.9 and drowning
+        # true matches; removing each block's mean (GIST-style whitening
+        # lite) restores discrimination (measured in
+        # tests/test_lc_round3.py's recall/precision scenario).
+        return f - jnp.mean(f)
+
+    feats = jnp.concatenate(
+        [center(hog), center(color_grid), center(gray_grid), center(layout)]
+    )
 
     if feats.shape[0] < dim:
         feats = jnp.pad(feats, (0, dim - feats.shape[0]))

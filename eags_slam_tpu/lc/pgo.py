@@ -92,8 +92,10 @@ def _gn_solve(graph: PoseGraph, iters: int = 20, huber: float = 0.5,
         r = jnp.where(graph.edges_valid[:, None] & jnp.isfinite(r), r, 0.0)
         rw = jnp.einsum("eij,ei->ej", L, r)            # L^T r
         # Huber on the whitened norm (robustness on top of the line
-        # process, like o3d's robust kernel).
-        nrm = jnp.linalg.norm(rw, axis=-1)
+        # process, like o3d's robust kernel). sqrt(max(., eps)) keeps the
+        # JACOBIAN finite at exactly-zero residuals (norm() has a NaN
+        # gradient at 0, which poisons perfectly-consistent edges).
+        nrm = jnp.sqrt(jnp.maximum(jnp.sum(rw * rw, axis=-1), 1e-18))
         w = jnp.where(nrm > huber, huber / jnp.maximum(nrm, 1e-9), 1.0)
         w = w * s * graph.edges_valid
         return (rw * jnp.sqrt(w)[:, None]).reshape(-1)

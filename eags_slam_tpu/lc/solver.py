@@ -14,8 +14,10 @@ the same compiled program.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -132,6 +134,33 @@ def viewpoint_localize(
     return np.linalg.inv(w2c_new), float(stats[0])  # loss (STAT_NAMES)
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "cam", "rcfg"))
+def _localize_batch(params: GaussianParams, alive, last_w2cs, colors, depths,
+                    iters: int, cam: Camera, rcfg: RasterConfig):
+    """All of one registration side's viewpoint localizations in ONE device
+    dispatch (VERDICT r2 next #5): `lax.map` over the stacked views runs the
+    per-view refinement loops sequentially inside a single program —
+    avoiding both the per-view dispatch round trips and vmap-batching the
+    Pallas rasterizer (which Mosaic does not lift). Returns (rels (V,4,4),
+    losses (V,))."""
+    tcfg = TrackerConfig(
+        iterations=iters, cam_rot_lr=0.003, cam_trans_lr=0.001,
+        w_color_loss=0.95, alpha_thre=0.95, filter_alpha=True,
+        filter_outlier_depth=True, soft_alpha=False, early_stop_cnt=15,
+        frozen_binning=False,
+    )
+
+    def one(args):
+        last_w2c, color, depth = args
+        rel, _, stats = refine_pose(
+            params, alive, jnp.eye(4), last_w2c, color, depth,
+            jnp.asarray(iters, jnp.int32), jnp.zeros(2), cam, rcfg, tcfg,
+        )
+        return rel, stats[0]
+
+    return jax.lax.map(one, (last_w2cs, colors, depths))
+
+
 def icp_registration(
     gauss_src: Dict[str, np.ndarray],
     gauss_tgt: Dict[str, np.ndarray],
@@ -209,7 +238,9 @@ def gaussian_registration(
 ) -> RegistrationResult:
     """Estimate correction C aligning the *target* submap onto the *source*.
 
-    views_*: list of {c2w, color (H,W,3) jnp, depth (H,W) jnp} keyframes.
+    views_*: list of {c2w, color (H,W,3) jnp, depth (H,W) jnp} keyframes OR
+    zero-arg callables returning such dicts (lazy loading: only the
+    top-`top_views` selected views per side are ever resolved/decoded).
     desc_*: (K, D) descriptors of those keyframes.
     """
     p_src, a_src = _pad_params(gauss_src, capacity)
@@ -227,30 +258,41 @@ def gaussian_registration(
     tgt_best = np.argsort(-sim.max(axis=0))[:top_views]   # target views
     src_best = np.argsort(-sim.max(axis=1))[:top_views]   # source views
 
+    def resolve(views, idxs):
+        out = []
+        for vi in idxs:
+            v = views[int(vi)]
+            out.append(v() if callable(v) else v)
+        return out
+
     corrections: List[np.ndarray] = []
     losses: List[float] = []
-    # Target views rendered against the SOURCE map: corrected view pose gives
-    # C directly (C = c2w' @ inv(c2w)).
-    for vi in tgt_best:
-        v = views_tgt[int(vi)]
-        c2w_new, loss = viewpoint_localize(
-            p_src, a_src, v["c2w"], v["color"], v["depth"], cam, rcfg,
-            pose_opt_iters,
+    # Target views rendered against the SOURCE map give C directly
+    # (C = c2w' @ inv(c2w)); source views against the TARGET map give the
+    # inverse correction. Each side's localizations run as ONE dispatch.
+    for p_map, a_map, view_list, invert in (
+        (p_src, a_src, resolve(views_tgt, tgt_best), False),
+        (p_tgt, a_tgt, resolve(views_src, src_best), True),
+    ):
+        if not view_list:
+            continue
+        last_w2cs = np.stack([
+            np.linalg.inv(np.asarray(v["c2w"], np.float64)) for v in view_list
+        ])
+        colors = jnp.stack([jnp.asarray(v["color"]) for v in view_list])
+        depths = jnp.stack([jnp.asarray(v["depth"]) for v in view_list])
+        rels, losses_v = _localize_batch(
+            p_map, a_map, jnp.asarray(last_w2cs, dtype=jnp.float32),
+            colors, depths, pose_opt_iters, cam, rcfg,
         )
-        C = c2w_new @ np.linalg.inv(np.asarray(v["c2w"], np.float64))
-        corrections.append(C)
-        losses.append(loss)
-    # Source views rendered against the TARGET map: gives the inverse
-    # correction.
-    for vi in src_best:
-        v = views_src[int(vi)]
-        c2w_new, loss = viewpoint_localize(
-            p_tgt, a_tgt, v["c2w"], v["color"], v["depth"], cam, rcfg,
-            pose_opt_iters,
-        )
-        D = c2w_new @ np.linalg.inv(np.asarray(v["c2w"], np.float64))
-        corrections.append(np.linalg.inv(D))
-        losses.append(loss)
+        rels = np.asarray(rels, np.float64)
+        losses_v = np.asarray(losses_v)
+        for k, v in enumerate(view_list):
+            w2c_new = last_w2cs[k] @ rels[k]
+            c2w_new = np.linalg.inv(w2c_new)
+            C = c2w_new @ np.linalg.inv(np.asarray(v["c2w"], np.float64))
+            corrections.append(np.linalg.inv(C) if invert else C)
+            losses.append(float(losses_v[k]))
 
     losses_np = np.asarray(losses)
     if not np.all(np.isfinite(losses_np)) or not all(

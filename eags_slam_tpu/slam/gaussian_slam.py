@@ -170,12 +170,25 @@ class GaussianSLAM:
             )
 
         self.loop_closer = None
+        self.lc_final = bool(config.get("lc", {}).get("final", True))
         if config.get("lc", {}).get("enabled", False):
             from ..lc.loop_closure import LoopClosure
 
             self.loop_closer = LoopClosure(config, self.output_path, self.cam,
                                            self.dataset,
                                            device=self._lc_device)
+            if on_tpu and n_dev == 1 and self.loop_closer.parallel:
+                # Single tunneled chip: a background LC thread dispatching
+                # full-capacity render programs concurrently with the main
+                # loop is the exact crash class that pinned VO to the host
+                # CPU (CLAUDE.md). Run LC synchronously at submap
+                # boundaries instead; per-closure latency is recorded.
+                self.logger.log(
+                    "info",
+                    {"msg": "single tunneled TPU chip: loop closure runs "
+                            "synchronously at submap boundaries"},
+                )
+                self.loop_closer.parallel = False
 
         n = len(self.dataset)
         self.estimated_c2ws = np.tile(np.eye(4), (n, 1, 1))
@@ -183,6 +196,7 @@ class GaussianSLAM:
         self.mapping_frame_ids = list(range(0, n, self.map_every)) + [n - 1]
 
         self._rng = np.random.default_rng(int(config.get("seed", 0)))
+        self._kf_descs: Dict[int, np.ndarray] = {}
         self._new_submap()
         self.submap_id = 0
         self.submap_anchor_frame = 0
@@ -247,9 +261,14 @@ class GaussianSLAM:
                 for f in self.submap_kf_frame_ids
             ]
         )
+        descs = None
+        if all(f in self._kf_descs for f in self.submap_kf_frame_ids):
+            descs = np.stack(
+                [self._kf_descs[f] for f in self.submap_kf_frame_ids]
+            )
         sm = Submap.from_world_arrays(
             self.submap_id, anchor, Twm, T_prev_m, Tmc,
-            self.submap_kf_frame_ids, pack_state(self.state),
+            self.submap_kf_frame_ids, pack_state(self.state), descs,
         )
         path = sm.save(self.output_path)
         self.submap_paths.append(path)
@@ -339,7 +358,7 @@ class GaussianSLAM:
         iters = (
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
-        self.state, n_added, losses, n_alive = M.insert_and_optimize(
+        self.state, n_added, losses, n_alive, kf_desc = M.insert_and_optimize(
             self.state, rows, row_valid, self.kfs,
             jnp.asarray(self.n_kf + 1, jnp.int32), jnp.asarray(self._key()),
             iters, self.cam, self.rcfg, self.mcfg, mesh=self.mesh,
@@ -362,10 +381,13 @@ class GaussianSLAM:
                  "max_keyframes": self.mcfg.max_keyframes},
             )
         self.submap_kf_frame_ids.append(frame_id)
-        n_added, final_loss, n_alive = jax.device_get(
-            (n_added, losses[-1, 0], n_alive)
+        n_added, final_loss, n_alive, kf_desc = jax.device_get(
+            (n_added, losses[-1, 0], n_alive, kf_desc)
         )
         self._n_alive = int(n_alive)
+        # Cache the keyframe descriptor for the submap file (LC reads it
+        # instead of re-decoding + re-describing every keyframe).
+        self._kf_descs[frame_id] = np.asarray(kf_desc, np.float32)
         if prof:
             _tick("fetch")
             keys = list(stages)
@@ -584,10 +606,10 @@ class GaussianSLAM:
                 self.loop_closer.check_futures()
                 self._apply_lc_corrections()
 
-        # Final submap + final LC (reference :278-296).
+        # Final submap + final LC, gated by `lc.final` (reference :278-296).
         path = self.save_current_submap()
         if self.loop_closer is not None:
-            if path is not None:
+            if path is not None and self.lc_final:
                 self.loop_closer.submit(self.submap_id, n - 1,
                                         self.estimated_c2ws)
             self.loop_closer.finalize()
@@ -609,6 +631,8 @@ class GaussianSLAM:
         }
         if self.odometer is not None:
             report["vo"] = self.odometer.report()
+        if self.loop_closer is not None:
+            report["lc"] = self.loop_closer.report()
         self._save_iteration_histogram()
         self.logger.log("report", report)
         return report
