@@ -203,11 +203,19 @@ class TUM_RGBD(BaseDataset):
         pose_list = self._read_file_list(root / "groundtruth.txt")
         assoc = self._associate(rgb_list, depth_list)
         frame_rate = config["data"].get("frame_rate", 32)
-        stride = max(1, int(30.0 / frame_rate)) if frame_rate > 0 else 1
+        min_gap = (1.0 / frame_rate) if frame_rate > 0 else 0.0
 
         poses_t = np.array(sorted(pose_list.keys()))
         first_inv = None
-        for i, (t_rgb, t_depth) in enumerate(assoc[::stride]):
+        last_t = -np.inf
+        for (t_rgb, t_depth) in assoc:
+            # Reference frame selection (datasets.py:185-190): take a frame
+            # when the TIMESTAMP gap since the last selected one exceeds
+            # 1/frame_rate — robust to dropped frames, unlike the fixed
+            # stride used in round 2.
+            if t_rgb - last_t < min_gap:
+                continue
+            last_t = t_rgb
             t = poses_t[np.argmin(np.abs(poses_t - t_rgb))]
             if abs(t - t_rgb) > 0.08:
                 continue
@@ -446,6 +454,10 @@ class Synthetic(BaseDataset):
 
 def get_dataset(name: str):
     """Factory (reference datasets.py:401-416)."""
+    if name.lower() == "synthetic_hard":
+        from .synthetic_hard import SyntheticHard  # lazy: avoids circularity
+
+        return SyntheticHard
     return {
         "replica": Replica,
         "tum_rgbd": TUM_RGBD,

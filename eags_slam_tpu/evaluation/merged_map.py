@@ -79,7 +79,7 @@ def _refine_chunk(
         )
         gt_c, gt_d = colors[fi], depths[fi]
         mask = (gt_d > 0) & ~jnp.isnan(out.depth)
-        m3 = jnp.tile(mask[..., None].astype(img.dtype), (1, 1, 3))
+        m3 = mask.astype(img.dtype)
         cl = (1 - lambda_dssim) * masked_l1(img, gt_c, m3) + lambda_dssim * (
             1.0 - ssim(img, gt_c)
         )

@@ -25,9 +25,19 @@ def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, agg: str = "mean") -> jnp.ndarra
 
 
 def masked_l1(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean of |pred-gt| over mask (sum/count), 0-safe."""
+    """Mean of |pred-gt| over mask (sum/count), 0-safe.
+
+    `mask` may have fewer trailing dims than `pred` (e.g. an (H, W) mask
+    against (H, W, 3) images); it broadcasts and the count scales by the
+    broadcasted channels — same value as materializing the tiled mask,
+    without the HBM traffic."""
+    scale = 1.0
+    if mask.ndim < pred.ndim:
+        for d in pred.shape[mask.ndim:]:
+            scale *= d
+        mask = mask.reshape(mask.shape + (1,) * (pred.ndim - mask.ndim))
     diff = jnp.abs(pred - gt) * mask
-    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask) * scale, 1.0)
 
 
 def _band_matrix(n: int, g: jnp.ndarray, half: int) -> jnp.ndarray:
@@ -58,30 +68,32 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     if img1.ndim == 2:
         h, w = img1.shape
         c = 1
+        img1 = img1[..., None]
+        img2 = img2[..., None]
     else:
         h, w, c = img1.shape
     bh = _band_matrix(h, g, half)       # vertical blur (applied from left)
     bw = _band_matrix(w, g, half)       # horizontal (applied from right)
 
-    def blur(img):
-        flat = img.reshape(h, w * c)
-        tmp = bh @ flat                                    # vertical
-        tmp = tmp.reshape(h, w, c) if c > 1 else tmp.reshape(h, w, 1)
-        # (H, W, C) -> (H, C, W): contract the W axis against bw.
-        t = jnp.transpose(tmp, (0, 2, 1)).reshape(h * c, w)
-        out = t @ bw
-        return jnp.transpose(out.reshape(h, c, w), (0, 2, 1)).reshape(
-            img.shape
-        )
-
-    if img1.ndim == 2:
-        img1 = img1[..., None]
-        img2 = img2[..., None]
-    mu1, mu2 = blur(img1), blur(img2)
+    # ONE blur over all 5 SSIM quantities stacked on the channel axis
+    # (img1, img2, img1^2, img2^2, img1*img2): two banded matmuls total
+    # instead of ten — the matmuls were launch/bandwidth-bound, not
+    # FLOP-bound, at frame sizes.
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1
+    )
+    cs = 5 * c
+    tmp = (bh @ stack.reshape(h, w * cs)).reshape(h, w, cs)
+    t = jnp.transpose(tmp, (0, 2, 1)).reshape(h * cs, w)
+    blurred = jnp.transpose((t @ bw).reshape(h, cs, w), (0, 2, 1))
+    mu1, mu2, m11, m22, m12 = (
+        blurred[..., :c], blurred[..., c:2 * c], blurred[..., 2 * c:3 * c],
+        blurred[..., 3 * c:4 * c], blurred[..., 4 * c:],
+    )
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = blur(img1 * img1) - mu1_sq
-    sigma2_sq = blur(img2 * img2) - mu2_sq
-    sigma12 = blur(img1 * img2) - mu12
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu12
     C1, C2 = 0.01**2, 0.03**2
     # Separable-blur variance estimates can go slightly negative on flat
     # regions, pushing SSIM past 1 (and (1-ssim) losses negative); clamp.

@@ -60,7 +60,7 @@ def dp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig, mcfg: MapperConfig)
                      params.opacity_logits, sh_to_rgb(params.f_dc), w2c, cam,
                      rcfg, alive=alive)
         mask = (depth > 0) & ~jnp.isnan(out.depth)
-        m3 = jnp.tile(mask[..., None].astype(out.color.dtype), (1, 1, 3))
+        m3 = mask.astype(out.color.dtype)
         color_l1 = masked_l1(out.color, color, m3)
         closs = (1 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
             1.0 - ssim(out.color, color)

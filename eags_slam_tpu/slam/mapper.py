@@ -436,25 +436,36 @@ def _book_step(book: _BookState, it, total, opt, adam, alive, *,
 
 def _permute_rows(trees, order):
     """Permute the leading axis of every leaf in `trees` (a tuple of pytrees
-    whose leaves are all (N, ...)) by `order`, using ONE N-index gather.
+    whose leaves are all (N, ...)) by `order`, using ONE N-index gather for
+    the float leaves.
 
     Gathers on this TPU cost per-INDEX (PERF.md), so one stacked gather
     beats a dozen per-leaf gathers ~12x; the stack is ATTR-MAJOR (CH, N) —
     the column-gather orientation measured ~3x cheaper than gathering
-    (N, CH) rows (the transposes around it are plain bandwidth copies)."""
+    (N, CH) rows (the transposes around it are plain bandwidth copies).
+
+    Non-float leaves (alive mask, index vectors) are permuted with plain
+    per-leaf takes: routing int32 indices through the f32 stack would
+    silently corrupt values above 2^24 (advisor r2 medium)."""
     leaves, treedef = jax.tree_util.tree_flatten(trees)
     n = leaves[0].shape[0]
+    is_f = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]
     cols = [jnp.transpose(l.reshape(n, -1)).astype(jnp.float32)
-            for l in leaves]
+            for l, f in zip(leaves, is_f) if f]
     widths = [c.shape[0] for c in cols]
     big = jnp.concatenate(cols, axis=0)[:, order]
     outs = []
     off = 0
-    for l, w in zip(leaves, widths):
-        outs.append(
-            jnp.transpose(big[off:off + w]).reshape(l.shape).astype(l.dtype)
-        )
-        off += w
+    wi = iter(widths)
+    for l, f in zip(leaves, is_f):
+        if f:
+            w = next(wi)
+            outs.append(
+                jnp.transpose(big[off:off + w]).reshape(l.shape).astype(l.dtype)
+            )
+            off += w
+        else:
+            outs.append(l[order])
     return jax.tree_util.tree_unflatten(treedef, outs)
 
 
@@ -492,8 +503,7 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
         )
         image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
         mask = (gt_depth > 0) & ~jnp.isnan(out.depth)
-        m3 = mask[..., None].astype(image.dtype)
-        color_l1 = masked_l1(image, gt_color, jnp.tile(m3, (1, 1, 3)))
+        color_l1 = masked_l1(image, gt_color, mask.astype(image.dtype))
         color_loss = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
             1.0 - ssim(image, gt_color)
         )
@@ -544,7 +554,7 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
                                       ck_vmax),
         )
 
-        def iter_body(i, ic):
+        def iter_body(ic):
             it, opt, adam, alive, book, losses = ic
             (total, (cl, dl)), grads = grad_fn(opt, f_dc, alive, kidx,
                                                seg_start, seg_cnt)
@@ -559,9 +569,21 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
             losses = losses.at[it].set(jnp.stack([total, cl, dl]))
             return (it + 1, opt, adam, alive, book, losses)
 
-        n_it = jnp.minimum(r_block, iterations - it0)
-        it, opt, adam, alive, book, losses = jax.lax.fori_loop(
-            0, n_it, iter_body, (it0, opt, adam, alive, book, c.losses)
+        # First block covers exactly the reference's 5 current-frame-pinned
+        # iterations (mapper.py:146-150) instead of a full kf_block
+        # (advisor r2: iterations 5..kf_block-1 were also pinned). The
+        # inner loop is a while_loop so early stop exits mid-block.
+        n_it = jnp.where(
+            it0 == 0,
+            jnp.minimum(min(5, r_block) if r_block >= 5 else r_block,
+                        iterations),
+            jnp.minimum(r_block, iterations - it0),
+        )
+        end = it0 + n_it
+        it, opt, adam, alive, book, losses = jax.lax.while_loop(
+            lambda ic: (ic[0] < end) & ~ic[4].stopped,
+            iter_body,
+            (it0, opt, adam, alive, book, c.losses),
         )
         return RCarry(it, perm, opt, adam, f_dc, alive, book, key, losses)
 
@@ -664,8 +686,7 @@ def _optimize_core(
                                alive=alive)
             image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
             mask = (gt_d > 0) & ~jnp.isnan(out.depth)
-            m3 = mask[..., None].astype(image.dtype)
-            color_l1 = masked_l1(image, gt_c, jnp.tile(m3, (1, 1, 1, 3)))
+            color_l1 = masked_l1(image, gt_c, mask.astype(image.dtype))
             # SSIM per tile (windowed within each tile; border bias is the
             # same every iteration so the stochastic objective stays
             # aligned with the full-image one).
@@ -691,8 +712,7 @@ def _optimize_core(
                          w2c, cam, rcfg, alive=alive)
             image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
             mask = (gt_depth > 0) & ~jnp.isnan(out.depth)
-            m3 = mask[..., None].astype(image.dtype)
-            color_l1 = masked_l1(image, gt_color, jnp.tile(m3, (1, 1, 3)))
+            color_l1 = masked_l1(image, gt_color, mask.astype(image.dtype))
             color_loss = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
                 1.0 - ssim(image, gt_color)
             )
@@ -722,8 +742,7 @@ def _optimize_core(
                     out.color * jnp.exp(exp[0, 0]) + exp[0, 1], 0.0, 1.0
                 )
                 mask = (depth[0] > 0) & ~jnp.isnan(out.depth)
-                m3 = mask[..., None].astype(image.dtype)
-                cl1 = masked_l1(image, color[0], jnp.tile(m3, (1, 1, 3)))
+                cl1 = masked_l1(image, color[0], mask.astype(image.dtype))
                 cl = (1.0 - mcfg.lambda_dssim) * cl1 + mcfg.lambda_dssim * (
                     1.0 - ssim(image, color[0])
                 )

@@ -217,6 +217,14 @@ class EdgeVO:
         self.keyframes: List[_Keyframe] = []
         # pose graph: per frame (kf_index, T_kf_frame f64)
         self.graph: List[tuple] = []
+        # edge_cache is written by step() (possibly on the pipelined VO
+        # worker thread) and read by the main thread's map_frame via
+        # get_edge_image; the lock makes that explicit instead of leaning
+        # on GIL atomicity + the eviction-window timing invariant
+        # (step(f+1) evicts only keys < f-3) — advisor r2.
+        import threading
+
+        self._edge_lock = threading.Lock()
         self.edge_cache: Dict[int, np.ndarray] = {}
         self.prev_pyramid: Optional[FramePyramid] = None
         self.past_clouds = deque(maxlen=cfg.n_frames_histogram_voting)
@@ -251,7 +259,8 @@ class EdgeVO:
             self.graph[frame_id] = (kf_idx, np.linalg.inv(kf.T_w_kf) @ c2w)
 
     def get_edge_image(self, frame_id: int) -> Optional[np.ndarray]:
-        e = self.edge_cache.get(frame_id)
+        with self._edge_lock:
+            e = self.edge_cache.get(frame_id)
         return None if e is None else np.asarray(e)
 
     # -- tracking -----------------------------------------------------------
@@ -360,9 +369,10 @@ class EdgeVO:
         )
         # Device array; fetched lazily in get_edge_image (only mapped
         # frames ask, and each fetch is a tunnel round trip).
-        self.edge_cache[frame_id] = pyr.levels[0].edges
-        for k in [k for k in self.edge_cache if k < frame_id - 4]:
-            del self.edge_cache[k]
+        with self._edge_lock:
+            self.edge_cache[frame_id] = pyr.levels[0].edges
+            for k in [k for k in self.edge_cache if k < frame_id - 4]:
+                del self.edge_cache[k]
 
         if frame_id == 0:
             self._promote_keyframe(0, pyr, self._start_pose)

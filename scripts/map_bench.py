@@ -112,10 +112,16 @@ def main():
         return per
 
     base = M.MapperConfig(max_keyframes=8)
-    opt_time(base._replace(kf_block=0), "regular  kf_block=0 ")
-    opt_time(base._replace(kf_block=5), "resident kf_block=5 ")
-    opt_time(base._replace(kf_block=10), "resident kf_block=10")
-    opt_time(base._replace(kf_block=20), "resident kf_block=20")
+    mode = os.environ.get("EAGS_MAPBENCH_MODE", "all")
+    if mode in ("all", "sweep"):
+        opt_time(base._replace(kf_block=0), "regular  kf_block=0 ")
+        opt_time(base._replace(kf_block=5), "resident kf_block=5 ")
+        opt_time(base._replace(kf_block=10), "resident kf_block=10")
+        opt_time(base._replace(kf_block=20), "resident kf_block=20")
+    elif mode == "resident10":
+        opt_time(base._replace(kf_block=10), "resident kf_block=10")
+    if mode == "sweep":
+        return
 
     # Loss-side cost, amortized: render-only grad vs render+mapping-loss
     # grad, each REPS chained inside one jit (single-dispatch numbers are

@@ -67,3 +67,34 @@ def test_grow_submap_dedups(rng):
     st, n2 = M.grow_submap(st, key, ids, valid, pts, rgbs, edge, depth,
                            1e-4, CAM, 32, 48, True, False)
     assert int(n2) == 0
+
+
+def test_keyframe_reservoir_uniform():
+    """Past the window, retained keyframes stay a ~uniform sample over all
+    past keyframes (reference keeps every keyframe and samples uniformly;
+    the reservoir preserves that marginal with bounded memory)."""
+    import numpy as np
+
+    from eags_slam_tpu.slam.gaussian_slam import GaussianSLAM
+
+    obj = object.__new__(GaussianSLAM)
+    obj.mcfg = M.MapperConfig(max_keyframes=9)   # reservoir size 8
+    obj._rng = np.random.default_rng(0)
+
+    counts = np.zeros(64)
+    trials = 400
+    for _ in range(trials):
+        obj.n_kf = 0
+        obj._kf_seen = 0
+        slots = {}
+        for kf in range(64):
+            s = obj._next_kf_slot()
+            if s is not None:
+                slots[s] = kf
+        for kf in slots.values():
+            counts[kf] += 1
+        assert len(slots) == 8                    # window always full
+    # Each keyframe retained with prob ~ 8/64 = 0.125.
+    freq = counts / trials
+    assert abs(freq.mean() - 8 / 64) < 1e-6
+    assert freq.min() > 0.05 and freq.max() < 0.25, freq
