@@ -71,19 +71,41 @@ class Evaluator:
         for sm in self._submaps():
             Twm_chain = Twm_chain @ sm.T_prev_m
             g = sm.restore_world(Twm_chain)
-            args = tuple(
-                jnp.asarray(g[k])
-                for k in ("xyz", "quats", "log_scales", "opacity_logits")
-            )
-            colors = sh_to_rgb(jnp.asarray(g["f_dc"]))
+            # Pad to a static capacity bucket: one compiled render program
+            # serves every submap size (per-submap compiles take minutes on
+            # the tunneled TPU).
+            from ..core.gaussians import bucket_for
+
+            n = g["xyz"].shape[0]
+            cap = bucket_for(n, 1 << 22)
+            alive = jnp.arange(cap) < n
+
+            def pad(x, fill=0.0):
+                out = np.full((cap,) + x.shape[1:], fill, x.dtype)
+                out[:n] = x
+                return jnp.asarray(out)
+
+            args = (pad(g["xyz"]), pad(g["quats"]),
+                    pad(g["log_scales"], -10.0),
+                    pad(g["opacity_logits"], -10.0))
+            colors = sh_to_rgb(pad(g["f_dc"]))
             for k, fid in enumerate(sm.kf_frame_ids):
                 w2c = np.linalg.inv(Twm_chain @ sm.Tmc[k])
                 out = render(
                     args[0], args[1], args[2], args[3], colors,
                     jnp.asarray(w2c, dtype=jnp.float32), self.cam, self.rcfg,
+                    alive=alive,
                 )
                 _, gt_color, gt_depth, _ = self.dataset[int(fid)]
-                img = jnp.clip(out.color, 0.0, 1.0)
+                img = out.color
+                if self.exposures is not None:
+                    # Exposure-compensated comparison (the tracker estimates
+                    # per-frame (a, b); observations carry real auto-exposure
+                    # drift — reference evaluator renders the compensated
+                    # image, evaluator.py:147-171).
+                    a, b = self.exposures[int(fid)]
+                    img = img * float(np.exp(a)) + float(b)
+                img = jnp.clip(img, 0.0, 1.0)
                 gt_c = jnp.asarray(gt_color)
                 psnrs.append(float(psnr(img, gt_c)))
                 ssims.append(float(ssim(img, gt_c)))

@@ -118,6 +118,7 @@ class GaussianSLAM:
             early_stop_cnt=int(tc["early_stop_cnt"]),
             init_err_ratio=float(tc["init_err_ratio"]),
             enable_exposure=bool(tc.get("enable_exposure", False)),
+            debug_per_iter=bool(tc.get("debug_per_iter", False)),
         )
         self.gt_camera = bool(tc.get("gt_camera", False))
         self.odometry_type = str(tc.get("odometry_type", "const_speed"))
@@ -604,6 +605,16 @@ class GaussianSLAM:
                 self.logger.log_tracking(
                     frame_id, {k: float(v) for k, v in stats.items()}
                 )
+                if self.tcfg.debug_per_iter:
+                    per = getattr(self.tracker, "last_per_iter", None)
+                    if per is not None:
+                        from .tracker import DEBUG_ITER_NAMES
+
+                        self.logger.log("track_iters", {
+                            "frame_id": frame_id,
+                            "names": list(DEBUG_ITER_NAMES),
+                            "iters": np.round(per, 6).tolist(),
+                        })
             self.track_times.append(time.perf_counter() - t_track)
 
             # Submap boundary (reference :220-244).
@@ -654,6 +665,10 @@ class GaussianSLAM:
         }
         if self.odometer is not None:
             report["vo"] = self.odometer.report()
+            self.odometer.dump_tum(
+                os.path.join(self.output_path, "vo_traj_tum.txt"),
+                self.dataset.timestamps,
+            )
         if self.loop_closer is not None:
             report["lc"] = self.loop_closer.report()
         self._save_iteration_histogram()

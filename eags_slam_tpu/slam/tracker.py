@@ -63,6 +63,12 @@ class TrackerConfig(NamedTuple):
     # nearly the full-image gradient at a fraction of the kernel cost;
     # candidate scoring stays full-image (reference protocol). 0 disables.
     tile_subset_frac: float = 0.25
+    # Per-iteration diagnostics (reference logger.py:24-93 logs loss + pose
+    # error per tracking iteration): the refinement runs as a scan with
+    # stacked per-iter (total, color, depth, lr_scale, quat4, trans3)
+    # records returned to the host. Tuning aid; adds the stacked-output
+    # traffic, off by default.
+    debug_per_iter: bool = False
 
 
 class PoseParams(NamedTuple):
@@ -310,14 +316,35 @@ def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig):
         best_dl=jnp.array(jnp.inf),
         best_it=jnp.zeros((), jnp.int32),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    if tcfg.debug_per_iter:
+        # Scan over the static max iteration count with a done-masked body:
+        # same trajectory as the while_loop, plus stacked per-iter records
+        # (DEBUG_ITER_NAMES) for the host.
+        def scan_body(c: _TrackCarry, _):
+            nxt = jax.lax.cond(cond(c), body, lambda c: c, c)
+            rec = jnp.concatenate([
+                jnp.stack([
+                    nxt.prev_loss, nxt.best_cl, nxt.best_dl,
+                    optim.PlateauState(*c.plateau).lr_scale,
+                    cond(c).astype(jnp.float32),
+                ]),
+                c.pose.quat, c.pose.trans,
+            ])
+            return nxt, rec
+
+        max_iters = 2 * tcfg.iterations   # doubling headroom
+        final, per_iter = jax.lax.scan(scan_body, init, None,
+                                       length=max_iters)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
+        per_iter = None
     rel = _rel_matrix(final.best_pose)
     # Packed stats (see STAT_NAMES): one array -> one host fetch.
     stats_vec = jnp.stack([
         final.best_loss, final.best_cl, final.best_dl,
         final.it.astype(jnp.float32), final.best_it.astype(jnp.float32),
     ])
-    return rel, final.best_pose.exposure, stats_vec
+    return rel, final.best_pose.exposure, stats_vec, per_iter
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
@@ -333,7 +360,9 @@ def refine_pose(
     colors = sh_to_rgb(params.f_dc)
     loss_fn = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
                             gt_color, gt_depth, cam, rcfg, tcfg)
-    return _refine(loss_fn, init_rel, num_iters, exposure0, tcfg)
+    rel, exposure, stats_vec, _ = _refine(loss_fn, init_rel, num_iters,
+                                          exposure0, tcfg)
+    return rel, exposure, stats_vec
 
 
 def _select_tiles(gt_color, gt_depth, alpha, cam: Camera, ts: int,
@@ -374,6 +403,10 @@ def _in_image_mask(tile_ids, ts: int, tiles_x: int, cam: Camera):
 
 TRACK_STAT_NAMES = STAT_NAMES + ("best_cand", "init_color_loss",
                                  "init_depth_loss")
+
+# Per-iteration debug record layout (TrackerConfig.debug_per_iter).
+DEBUG_ITER_NAMES = ("loss", "color_loss", "depth_loss", "lr_scale",
+                    "active", "qw", "qx", "qy", "qz", "tx", "ty", "tz")
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
@@ -433,13 +466,13 @@ def track_frame(
     loss_fn = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
                             gt_color, gt_depth, cam, rcfg, tcfg,
                             subset=subset)
-    rel, exposure, stats_vec = _refine(loss_fn, init_rel, num_iters,
-                                       exposure0, tcfg)
+    rel, exposure, stats_vec, per_iter = _refine(loss_fn, init_rel,
+                                                 num_iters, exposure0, tcfg)
     stats_vec = jnp.concatenate([
         stats_vec,
         jnp.stack([best.astype(jnp.float32), init_cl, init_dl]),
     ])
-    return rel, exposure, stats_vec
+    return rel, exposure, stats_vec, per_iter
 
 
 class Tracker:
@@ -483,7 +516,7 @@ class Tracker:
         exp0 = jnp.zeros(2) if exposure0 is None else jnp.asarray(exposure0)
 
         t0 = time.perf_counter()
-        rel, exposure, stats_vec = track_frame(
+        rel, exposure, stats_vec, per_iter = track_frame(
             params, alive, jnp.asarray(rels),
             jnp.asarray(last_w2c, dtype=jnp.float32), gt_color, gt_depth,
             jnp.float32(med_cl), jnp.float32(med_dl), exp0,
@@ -491,6 +524,9 @@ class Tracker:
         )
         # ONE round trip for everything the host needs this frame.
         rel, exposure, stats_vec = jax.device_get((rel, exposure, stats_vec))
+        if per_iter is not None:
+            self.last_per_iter = np.asarray(per_iter)  # (I, 12), see
+            # DEBUG_ITER_NAMES; rows with active == 0 are past the exit.
         stats = dict(zip(TRACK_STAT_NAMES, (float(v) for v in stats_vec)))
         stats["track_dispatch_ms"] = 1e3 * (time.perf_counter() - t0)
         best = int(stats.pop("best_cand"))

@@ -424,3 +424,24 @@ class EdgeVO:
             "mean_dt_ms": 1e3 * float(np.mean(self.dt_times))
             if self.dt_times else 0.0,
         }
+
+    def dump_tum(self, path: str, timestamps=None):
+        """Write the VO pose-graph trajectory in TUM format
+        `timestamp tx ty tz qx qy qz qw` (reference REVO dumps its
+        trajectory the same way, VO/system/system.cpp:212-255)."""
+        from ..slam.submap import _rotmat_to_quat_np
+
+        with open(path, "w") as f:
+            f.write("# timestamp tx ty tz qx qy qz qw\n")
+            for fid in range(len(self.graph)):
+                if self.graph[fid] is None:
+                    continue
+                T = self._world_pose(fid)
+                t = T[:3, 3]
+                q = _rotmat_to_quat_np(T[:3, :3])  # wxyz
+                ts = (timestamps[fid] if timestamps is not None
+                      else fid / 30.0)
+                f.write(
+                    f"{ts:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n"
+                )

@@ -93,7 +93,7 @@ def test_track_frame_tile_subset_reduces_pose_error(rng):
     far = np.asarray(
         se3_exp(jnp.asarray([0.15, 0.1, 0.0, 0.08, 0.0, 0.0])), np.float32
     )
-    rel, _, stats_vec = track_frame(
+    rel, _, stats_vec, _ = track_frame(
         params, alive, jnp.asarray(np.stack([far, near])),
         jnp.asarray(w2c_true), gt_color, gt_depth,
         jnp.float32(np.inf), jnp.float32(np.inf), jnp.zeros(2),
@@ -175,3 +175,43 @@ def test_frozen_sorted_large_motion_stress(rng):
     # ...and frozen must not be catastrophically worse than re-binning.
     assert errs["frozen"][0] < 2.0 * max(errs["rebin"][0], 0.01 * init_t), errs
     assert errs["frozen"][1] < max(2.0 * errs["rebin"][1], 1.0), errs
+
+
+def test_track_frame_debug_per_iter(rng):
+    """debug_per_iter returns the stacked per-iteration record
+    (DEBUG_ITER_NAMES) and the same pose as the while_loop path."""
+    from eags_slam_tpu.slam.tracker import track_frame
+
+    params, alive = _scene(rng)
+    w2c_true = np.eye(4, dtype=np.float32)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, sh_to_rgb(params.f_dc),
+                 jnp.asarray(w2c_true), CAM, RCFG, alive=alive)
+    gt_color = out.color
+    gt_depth = jnp.where(out.alpha > 0.5,
+                         out.depth / jnp.maximum(out.alpha, 1e-6), 0.0)
+    tau = np.array([0.008, -0.006, 0.005, 0.004, -0.006, 0.004], np.float32)
+    rels = np.asarray(se3_exp(jnp.asarray(tau)))[None]
+
+    tc_dbg = TCFG._replace(iterations=20, debug_per_iter=True)
+    rel_d, _, stats_d, per = track_frame(
+        params, alive, jnp.asarray(rels), jnp.asarray(w2c_true), gt_color,
+        gt_depth, jnp.float32(np.inf), jnp.float32(np.inf), jnp.zeros(2),
+        CAM, RCFG, tc_dbg,
+    )
+    per = np.asarray(per)
+    assert per.shape == (40, 12)          # 2x iterations headroom, 12 cols
+    active = per[:, 4] > 0
+    assert active[:20].all() and not active[20:].any()
+    # Losses recorded and finite while active.
+    assert np.isfinite(per[active, 0]).all()
+
+    tc_plain = TCFG._replace(iterations=20)
+    rel_p, _, stats_p, per_p = track_frame(
+        params, alive, jnp.asarray(rels), jnp.asarray(w2c_true), gt_color,
+        gt_depth, jnp.float32(np.inf), jnp.float32(np.inf), jnp.zeros(2),
+        CAM, RCFG, tc_plain,
+    )
+    assert per_p is None
+    np.testing.assert_allclose(np.asarray(rel_d), np.asarray(rel_p),
+                               atol=1e-6)
