@@ -104,6 +104,10 @@ DEFAULTS: Dict[str, Any] = {
         # tests/test_gs_registration.py)
         "pose_opt_iters": 200,
         "top_views": 2,
+        # gs_reg localization pyramid level: 1 = half-res (~4x cheaper per
+        # iteration; the correction solves dm-scale drift). 0 = reference
+        # full-res protocol.
+        "localize_level": 1,
         "final": True,
         "voxel_size": 0.05,
     },

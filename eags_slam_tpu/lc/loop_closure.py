@@ -61,6 +61,9 @@ class LoopClosure:
         self.registration = str(lc.get("registration", "gs_reg"))
         self.pose_opt_iters = int(lc.get("pose_opt_iters", 100))
         self.top_views = int(lc.get("top_views", 2))
+        # Pyramid level for gs_reg viewpoint localizations (0 = full-res
+        # reference protocol; 1 = half-res, ~4x cheaper — see solver).
+        self.localize_level = int(lc.get("localize_level", 1))
         # Line-process prune threshold (o3d edge_prune_threshold
         # semantics; reference pgo_edge_prune_thres, lc.py:302-316):
         # loop edges whose final line-process weight falls below this are
@@ -285,6 +288,7 @@ class LoopClosure:
                 g_j, g_i, views_j, views_i, info_j.descriptors,
                 info_i.descriptors, self.cam, self.rcfg, self.capacity,
                 self.overlap_thre, self.top_views, self.pose_opt_iters,
+                localize_level=self.localize_level,
             )
         if res.successful and res.information is None:
             res = res._replace(

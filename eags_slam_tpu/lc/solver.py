@@ -235,6 +235,7 @@ def gaussian_registration(
     top_views: int = 2,
     pose_opt_iters: int = 100,
     overlap_dist: float = 0.05,
+    localize_level: int = 0,
 ) -> RegistrationResult:
     """Estimate correction C aligning the *target* submap onto the *source*.
 
@@ -242,6 +243,13 @@ def gaussian_registration(
     zero-arg callables returning such dicts (lazy loading: only the
     top-`top_views` selected views per side are ever resolved/decoded).
     desc_*: (K, D) descriptors of those keyframes.
+
+    localize_level: pyramid level for the viewpoint localizations (each
+    level halves resolution; the reference runs full-res, :16-98). The
+    correction C solves dm-scale inter-submap drift — a half-res solve
+    reaches the same basin at ~1/4 the per-iteration render cost, and the
+    non-frozen rebin-per-step path dominates LC latency (measured 21.7 s
+    per registration full-res at 262k / 1200x680, PERF.md).
     """
     p_src, a_src = _pad_params(gauss_src, capacity)
     p_tgt, a_tgt = _pad_params(gauss_tgt, capacity)
@@ -281,9 +289,20 @@ def gaussian_registration(
         ])
         colors = jnp.stack([jnp.asarray(v["color"]) for v in view_list])
         depths = jnp.stack([jnp.asarray(v["depth"]) for v in view_list])
+        cam_l = cam
+        if localize_level > 0:
+            f = 1 << localize_level
+            cam_l = cam.scaled(localize_level)
+            hc, wc = cam_l.height * f, cam_l.width * f
+            # Color: box average (anti-aliased); depth: stride sample
+            # (averaging across depth edges fabricates phantom surfaces).
+            colors = colors[:, :hc, :wc].reshape(
+                colors.shape[0], cam_l.height, f, cam_l.width, f, 3
+            ).mean(axis=(2, 4))
+            depths = depths[:, :hc:f, :wc:f]
         rels, losses_v = _localize_batch(
             p_map, a_map, jnp.asarray(last_w2cs, dtype=jnp.float32),
-            colors, depths, pose_opt_iters, cam, rcfg,
+            colors, depths, pose_opt_iters, cam_l, rcfg,
         )
         rels = np.asarray(rels, np.float64)
         losses_v = np.asarray(losses_v)
