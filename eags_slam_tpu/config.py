@@ -108,6 +108,13 @@ DEFAULTS: Dict[str, Any] = {
         # iteration; the correction solves dm-scale drift). 0 = reference
         # full-res protocol.
         "localize_level": 1,
+        # >1: split pose_opt_iters into this many frozen-sorted segments
+        # with a binning re-freeze between them (~5x cheaper per iteration
+        # than rebin-per-step; 1 restores the rebin-per-step path).
+        "localize_restarts": 4,
+        # Fixed-size submap subsample rendered during registration (one
+        # compiled program for the whole run; see LoopClosure.reg_capacity).
+        "reg_capacity": 65536,
         "final": True,
         "voxel_size": 0.05,
     },

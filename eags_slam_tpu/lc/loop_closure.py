@@ -64,6 +64,11 @@ class LoopClosure:
         # Pyramid level for gs_reg viewpoint localizations (0 = full-res
         # reference protocol; 1 = half-res, ~4x cheaper — see solver).
         self.localize_level = int(lc.get("localize_level", 1))
+        # gs_reg localization schedule: >1 splits pose_opt_iters into that
+        # many frozen-sorted segments with a re-freeze between them (see
+        # solver._localize_batch); 1 = rebin-per-step (reference-faithful
+        # but ~5x the per-iteration cost).
+        self.localize_restarts = int(lc.get("localize_restarts", 4))
         # Line-process prune threshold (o3d edge_prune_threshold
         # semantics; reference pgo_edge_prune_thres, lc.py:302-316):
         # loop edges whose final line-process weight falls below this are
@@ -72,6 +77,14 @@ class LoopClosure:
         self.info_max_corr = float(lc.get("info_max_corr", 0.1))
         self.capacity = int(lc.get("capacity",
                                    config["mapping"].get("max_gaussians", 1 << 18)))
+        # Registration renders a fixed-size (seeded) subsample of each
+        # submap: one compiled localize program for the whole run regardless
+        # of submap growth, 16x cheaper overlap kNN, and ~2-4x cheaper
+        # renders. Localization solves dm-scale drift — a 65k subsample at
+        # localize_level 1 keeps the photometric basin (filter_alpha masks
+        # any thinned pixels). Reference renders full submaps (solver.py).
+        self.reg_capacity = int(lc.get("reg_capacity",
+                                       min(self.capacity, 1 << 16)))
         self.output_path = output_path
         self.cam = cam
         self.dataset = dataset
@@ -286,9 +299,10 @@ class LoopClosure:
             views_j = self._keyframe_views(info_j, anchors[j])
             res = gaussian_registration(
                 g_j, g_i, views_j, views_i, info_j.descriptors,
-                info_i.descriptors, self.cam, self.rcfg, self.capacity,
+                info_i.descriptors, self.cam, self.rcfg, self.reg_capacity,
                 self.overlap_thre, self.top_views, self.pose_opt_iters,
                 localize_level=self.localize_level,
+                localize_restarts=self.localize_restarts,
             )
         if res.successful and res.information is None:
             res = res._replace(

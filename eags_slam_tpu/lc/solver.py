@@ -134,29 +134,45 @@ def viewpoint_localize(
     return np.linalg.inv(w2c_new), float(stats[0])  # loss (STAT_NAMES)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cam", "rcfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "restarts", "cam", "rcfg"))
 def _localize_batch(params: GaussianParams, alive, last_w2cs, colors, depths,
-                    iters: int, cam: Camera, rcfg: RasterConfig):
+                    iters: int, restarts: int, cam: Camera,
+                    rcfg: RasterConfig):
     """All of one registration side's viewpoint localizations in ONE device
     dispatch (VERDICT r2 next #5): `lax.map` over the stacked views runs the
     per-view refinement loops sequentially inside a single program —
     avoiding both the per-view dispatch round trips and vmap-batching the
-    Pallas rasterizer (which Mosaic does not lift). Returns (rels (V,4,4),
+    Pallas rasterizer (which Mosaic does not lift).
+
+    `restarts > 1` splits the iteration budget into that many frozen-sorted
+    refinement segments, RE-FREEZING the tile binning at the updated pose
+    between segments: per-iteration cost drops from sort+gather+kernel to
+    the cheap frozen-sorted path, while the periodic re-freeze still tracks
+    the dm-scale corrections loop closure must solve (a single frozen
+    binning would be stale at that scale; measured rebin-per-step
+    registration was 16-40 s each, PERF.md round 3). Returns (rels (V,4,4),
     losses (V,))."""
+    inner = -(-iters // max(restarts, 1))
     tcfg = TrackerConfig(
-        iterations=iters, cam_rot_lr=0.003, cam_trans_lr=0.001,
+        iterations=inner, cam_rot_lr=0.003, cam_trans_lr=0.001,
         w_color_loss=0.95, alpha_thre=0.95, filter_alpha=True,
         filter_outlier_depth=True, soft_alpha=False, early_stop_cnt=15,
-        frozen_binning=False,
+        frozen_binning=restarts > 1,
     )
 
     def one(args):
         last_w2c, color, depth = args
-        rel, _, stats = refine_pose(
-            params, alive, jnp.eye(4), last_w2c, color, depth,
-            jnp.asarray(iters, jnp.int32), jnp.zeros(2), cam, rcfg, tcfg,
-        )
-        return rel, stats[0]
+        rel_acc = jnp.eye(4)
+        loss = jnp.float32(jnp.inf)
+        for _ in range(max(restarts, 1)):
+            rel, _, stats = refine_pose(
+                params, alive, jnp.eye(4), last_w2c @ rel_acc, color, depth,
+                jnp.asarray(inner, jnp.int32), jnp.zeros(2), cam, rcfg, tcfg,
+            )
+            rel_acc = rel_acc @ rel
+            loss = stats[0]
+        return rel_acc, loss
 
     return jax.lax.map(one, (last_w2cs, colors, depths))
 
@@ -236,6 +252,7 @@ def gaussian_registration(
     pose_opt_iters: int = 100,
     overlap_dist: float = 0.05,
     localize_level: int = 0,
+    localize_restarts: int = 4,
 ) -> RegistrationResult:
     """Estimate correction C aligning the *target* submap onto the *source*.
 
@@ -302,7 +319,7 @@ def gaussian_registration(
             depths = depths[:, :hc:f, :wc:f]
         rels, losses_v = _localize_batch(
             p_map, a_map, jnp.asarray(last_w2cs, dtype=jnp.float32),
-            colors, depths, pose_opt_iters, cam_l, rcfg,
+            colors, depths, pose_opt_iters, localize_restarts, cam_l, rcfg,
         )
         rels = np.asarray(rels, np.float64)
         losses_v = np.asarray(losses_v)
