@@ -60,16 +60,17 @@ def make_config(n_frames: int, out: str):
     })
     # Reference Replica protocol (configs/Replica/replica.yaml): map every
     # 5th frame, 100 iters per mapped frame, 900-iter submap inits every 50
-    # frames. new_submap_every is shortened to 18 so the run has 4 submaps
-    # (>= 3 closure opportunities on the revisit orbit);
-    # new_submap_iterations scales by the same 18/50 factor to keep the
+    # frames. new_submap_every is shortened to 20 so the run has 4 submaps
+    # (>= 3 closure opportunities on the revisit orbit) while staying a
+    # multiple of map_every, exactly like the reference's 50/5;
+    # new_submap_iterations scales by the same 20/50 factor to keep the
     # amortized per-frame init cost faithful to the reference protocol.
     config["mapping"].update(
         {
             "map_every": 5,
-            "new_submap_every": 18,
+            "new_submap_every": 20,
             "iterations": 100,
-            "new_submap_iterations": 324,
+            "new_submap_iterations": 360,
             "new_submap_points_num": 100000,
             "new_submap_gradient_points_num": 50000,
             "new_frame_sample_size": 30000,

@@ -260,7 +260,7 @@ def _onehot(rank, base, capt):
 def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
                 buf, bufw, key_ref, sem, *, tile: int, tiles_x: int, group: int,
                 n_sel: int, bands: int, seg_cap: int, bf16: bool,
-                quadform: bool):
+                quadform: bool, emit_rank: bool):
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
@@ -312,7 +312,10 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
                                  bands=bands, seg_cap=seg_cap, capt=capt)
         # Persist the rank for the backward replay: recomputing it there
         # (candidates + banded rank pass) was the dominant bwd cost.
-        rank_ref[pl.ds(g, 1)] = rank
+        # Inference-only renders (no vjp) skip the write — ~capt*4 B/tile
+        # of dead HBM traffic otherwise (ADVICE r2).
+        if emit_rank:
+            rank_ref[pl.ds(g, 1)] = rank
 
         tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
         ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
@@ -372,8 +375,8 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
 
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
                 rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, bufw,
-                gbuf, gtmp, sem, gsem, *, tile: int, tiles_x: int, group: int,
-                n_sel: int, bands: int, seg_cap: int, bf16: bool,
+                gbuf, gtmp, sem, gsem, gsem_w, *, tile: int, tiles_x: int,
+                group: int, n_sel: int, bands: int, seg_cap: int, bf16: bool,
                 quadform: bool):
     px = tile * tile
     capt = bands * seg_cap
@@ -385,6 +388,23 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
 
     def tile_of(s):
         return ids_ref[jnp.minimum(s, n_sel - 1)]
+
+    def _band_al(tc, b):
+        start = start_ref[tc * bands + b]
+        return pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+
+    def _gwin(al):
+        return grad_hbm.at[:, pl.ds(al, seg_cap)]
+
+    def _wait_grad_writes(tc_prev):
+        # Waiting only needs the semaphore + transfer size, so the
+        # reconstructed descriptor's window (the previous tile's band) is
+        # whatever _band_al returns for it — exactness of the address is
+        # irrelevant to the wait amount.
+        for b in range(bands):
+            pltpu.make_async_copy(
+                gtmp.at[b], _gwin(_band_al(tc_prev, b)), gsem_w.at[b]
+            ).wait()
 
     def start_tile_dmas(slot, s):
         tc = tile_of(s)
@@ -404,7 +424,7 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
 
     start_tile_dmas(0, base_t)
 
-    def tile_body(g, _):
+    def tile_body(g, pending):
         s_idx = base_t + g
         tc = tile_of(s_idx)
         slot = g % 2
@@ -530,35 +550,78 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
         )
 
         # Read-modify-write the bands into the global grad array. Grid
-        # steps run sequentially on this single-TensorCore chip, and the
-        # waits below order tiles within a program, so overlapping
-        # segments of neighboring tiles accumulate correctly.
-        @pl.when(is_live)
+        # steps run sequentially on this single-TensorCore chip and the
+        # ordering below serializes overlapping segments of NEIGHBORING
+        # tiles, so cross-tile accumulation is race-free.
+        #
+        # Pipelined rmw (PERF.md roadmap #5): the previous per-band
+        # blocking read -> add -> blocking write exposed 2*bands DMA
+        # latencies per tile — the dominant bwd fixed cost. Now a tile's
+        # band WRITES are left in flight through the NEXT tile's replay
+        # compute and waited only just before that tile's band reads, and
+        # the reads themselves are issued in parallel (one exposed
+        # latency). Requires the tile's own band windows to be disjoint —
+        # true whenever each covered tile-row holds > seg_cap gaussians
+        # (always at SLAM scale); sparse tiles take the serialized
+        # fallback, whose full waits also make its trailing state clean
+        # (pending=0).
+        @pl.when(is_live & (pending == 1))
+        def _():
+            _wait_grad_writes(tile_of(s_idx - 1))
+
+        als = [_band_al(tc, b) for b in range(bands)]
+        disjoint = jnp.bool_(True)
+        for b in range(bands - 1):
+            disjoint = disjoint & (als[b] + seg_cap <= als[b + 1])
+
+        @pl.when(is_live & disjoint)
         def _():
             for b in range(bands):
-                start = start_ref[tc * bands + b]
-                al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+                pltpu.make_async_copy(
+                    _gwin(als[b]), gtmp.at[b], gsem.at[b]).start()
+            for b in range(bands):
+                pltpu.make_async_copy(
+                    _gwin(als[b]), gtmp.at[b], gsem.at[b]).wait()
+            for b in range(bands):
+                gtmp[b, :, :] = gtmp[b, :, :] + gbuf[:, b * seg_cap:(b + 1) * seg_cap]
+            for b in range(bands):
+                pltpu.make_async_copy(
+                    gtmp.at[b], _gwin(als[b]), gsem_w.at[b]).start()
+
+        @pl.when(is_live & ~disjoint)
+        def _():
+            for b in range(bands):
                 rd = pltpu.make_async_copy(
-                    grad_hbm.at[:, pl.ds(al, seg_cap)], gtmp, gsem
-                )
+                    _gwin(als[b]), gtmp.at[b], gsem.at[b])
                 rd.start()
                 rd.wait()
-                gtmp[:, :] = gtmp[:, :] + gbuf[:, b * seg_cap:(b + 1) * seg_cap]
+                gtmp[b, :, :] = gtmp[b, :, :] + gbuf[:, b * seg_cap:(b + 1) * seg_cap]
                 wr = pltpu.make_async_copy(
-                    gtmp, grad_hbm.at[:, pl.ds(al, seg_cap)], gsem
-                )
+                    gtmp.at[b], _gwin(als[b]), gsem_w.at[b])
                 wr.start()
                 wr.wait()
-        return 0
 
-    jax.lax.fori_loop(0, group, tile_body, 0)
+        return jnp.where(
+            is_live, jnp.where(disjoint, 1, 0), pending
+        ).astype(jnp.int32)
+
+    pending = jax.lax.fori_loop(0, group, tile_body, jnp.int32(0))
+
+    # Drain the last live tile's deferred writes before the program ends.
+    @pl.when(pending == 1)
+    def _():
+        _wait_grad_writes(tile_of(jnp.minimum(base_t + group, n_sel) - 1))
 
 
 def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
-              quadform):
+              quadform, emit_rank=True):
     px = tile * tile
     t_pad = -(-n_sel // group)
     capt = bands * seg_cap
+    # Inference-only renders keep a 1-row dummy rank output (never
+    # written); the f32 rebuild scratch exists only under bf16 (ADVICE r2:
+    # ~capt*NCH*4 B of dead VMEM otherwise).
+    rank_rows = t_pad * group if emit_rank else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # seg_start, seg_cnt, tile_ids
         grid=(t_pad,),
@@ -573,14 +636,16 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
             ),
             # Persisted depth ranks for the backward replay (see _bwd_kernel).
             pl.BlockSpec(
-                (group, capt), lambda t, *_: (t, 0),
+                (group if emit_rank else 1, capt),
+                (lambda t, *_: (t, 0)) if emit_rank
+                else (lambda t, *_: (0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NCH, capt),
                        jnp.bfloat16 if bf16 else jnp.float32),
-            pltpu.VMEM((NCH, capt), jnp.float32),
+            pltpu.VMEM((NCH, capt) if bf16 else (8, CHUNK), jnp.float32),
             pltpu.VMEM((1, capt), jnp.int32),
             pltpu.SemaphoreType.DMA((2, bands)),
         ],
@@ -589,11 +654,11 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
         functools.partial(_fwd_kernel, tile=tile, tiles_x=tiles_x,
                           group=group, n_sel=n_sel, bands=bands,
                           seg_cap=seg_cap, bf16=bf16,
-                          quadform=quadform),
+                          quadform=quadform, emit_rank=emit_rank),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad * group, capt), jnp.int32),
+            jax.ShapeDtypeStruct((rank_rows, capt), jnp.int32),
         ],
         interpret=_interpret(),
     )
@@ -621,11 +686,13 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
         scratch_shapes=[
             pltpu.VMEM((2, NCH, capt),
                        jnp.bfloat16 if bf16 else jnp.float32),  # buf
-            pltpu.VMEM((NCH, capt), jnp.float32),          # bufw (f32 view)
+            pltpu.VMEM((NCH, capt) if bf16 else (8, CHUNK),
+                       jnp.float32),                       # bufw (f32 view)
             pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
-            pltpu.VMEM((NCH, seg_cap), jnp.float32),       # gtmp
+            pltpu.VMEM((bands, NCH, seg_cap), jnp.float32),  # gtmp (per band)
             pltpu.SemaphoreType.DMA((2, bands)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((bands,)),             # grad reads
+            pltpu.SemaphoreType.DMA((bands,)),             # deferred writes
         ],
     )
     return pl.pallas_call(
@@ -654,7 +721,8 @@ def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
     attrs_dma = to_bf16_layout(attrs_sorted) if bf16 else attrs_sorted
     out, _ = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
-                       tiles_x, group, bands, seg_cap, bf16, quadform)(
+                       tiles_x, group, bands, seg_cap, bf16, quadform,
+                       emit_rank=False)(
         seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_dma)
     return out
 

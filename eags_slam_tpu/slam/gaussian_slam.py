@@ -627,7 +627,13 @@ class GaussianSLAM:
                 self.start_new_submap(frame_id)
                 is_new_submap = True
 
-            if frame_id in self.mapping_frame_ids:
+            # Boundary frames are ALWAYS mapped (reference
+            # gaussian_slam.py:246-252 maps on `is_new_submap` regardless of
+            # map_every): the fresh submap must be seeded+optimized before
+            # the next frame tracks against it — otherwise tracking renders
+            # an empty map (inf loss) until the next scheduled mapping
+            # frame and falls back to raw odometry for those frames.
+            if frame_id in self.mapping_frame_ids or is_new_submap:
                 t_map = time.perf_counter()
                 stats = self.map_frame(
                     frame_id, color_dev, depth_dev,

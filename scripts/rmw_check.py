@@ -1,0 +1,133 @@
+"""Cross-backend validation + perf probe for the v2 bwd pipelined rmw.
+
+The interpret-mode pytest suite validates the NUMERICS of the backward
+kernel; what it cannot catch is hardware DMA ordering (deferred band
+writes vs the next tile's reads, semaphore accounting across grid steps).
+This script runs the same two scenes — one dense enough that every tile
+takes the parallel/deferred rmw path, one sparse enough that band windows
+overlap and the serialized fallback fires — and dumps the full gradient
+pytree, so a CPU (interpret) run and a TPU run can be diffed bit-for-bit
+in float tolerance.
+
+Usage (from /root/repo):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python scripts/rmw_check.py dump /tmp/rmw_cpu.npz
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/rmw_check.py dump /tmp/rmw_tpu.npz
+  python scripts/rmw_check.py compare /tmp/rmw_cpu.npz /tmp/rmw_tpu.npz
+  PYTHONPATH=... python scripts/rmw_check.py perf   # amortized 262k timing
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import numpy as np
+
+
+def scene(n, h, w, seed):
+    import jax.numpy as jnp
+
+    from eags_slam_tpu.core.camera import Camera
+
+    rng = np.random.default_rng(seed)
+    cam = Camera(fx=300.0, fy=300.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
+                 width=w, height=h)
+    means = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.2, 1.2, n),
+         rng.uniform(0.5, 5, n)], axis=-1).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    ls = np.log(rng.uniform(0.01, 0.05, (n, 3))).astype(np.float32)
+    op = rng.uniform(0.5, 3.0, (n, 1)).astype(np.float32)
+    col = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return cam, tuple(jnp.asarray(x) for x in (means, quats, ls, op, col)) \
+        + (jnp.eye(4),)
+
+
+def grads_for(n, h, w, seed):
+    import jax
+
+    from eags_slam_tpu.ops.rasterizer import RasterConfig, render
+
+    cfg = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
+                       seg_cap=1024, bands=3)
+    cam, args = scene(n, h, w, seed)
+
+    def loss(*a):
+        out = render(*a, cam=cam, cfg=cfg)
+        return (out.color.sum() + out.depth.sum()
+                + (out.color * out.color).sum())
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))(*args)
+    return [np.asarray(x) for x in g]
+
+
+def dump(path):
+    out = {}
+    # Dense: ~2500 gaussians per 32px tile-row -> disjoint band windows,
+    # every tile takes the deferred-write path.
+    for i, g in enumerate(grads_for(20000, 256, 480, 0)):
+        out[f"dense_{i}"] = g
+    # Sparse: ~190 per row -> overlapping windows, serialized fallback
+    # (plus parallel->fallback->parallel transitions within a program).
+    for i, g in enumerate(grads_for(1536, 256, 480, 1)):
+        out[f"sparse_{i}"] = g
+    np.savez(path, **out)
+    print("wrote", path)
+
+
+def compare(a_path, b_path):
+    a, b = np.load(a_path), np.load(b_path)
+    worst = 0.0
+    for k in a.files:
+        x, y = a[k], b[k]
+        denom = np.maximum(np.abs(x), 1e-3)
+        rel = float(np.max(np.abs(x - y) / denom))
+        print(f"{k}: max_rel={rel:.3e}")
+        worst = max(worst, rel)
+    ok = worst < 5e-3
+    print("OK" if ok else "MISMATCH", f"worst={worst:.3e}")
+    sys.exit(0 if ok else 1)
+
+
+def perf():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from raster_bench import amortized, make_scene, measure_floor
+
+    from eags_slam_tpu.ops.rasterizer import RasterConfig, render
+
+    cfg = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
+                       seg_cap=1024, bands=3)
+    cam, args = make_scene(262144, 680, 1200)
+    floor = measure_floor()
+    print(f"backend={jax.default_backend()} floor={floor*1e3:.1f}ms")
+
+    def fwd(*a):
+        return render(*a, cam=cam, cfg=cfg).color
+
+    def fwdbwd(*a):
+        def loss(means, quats, ls, op, col, w2c):
+            out = render(means, quats, ls, op, col, w2c, cam=cam, cfg=cfg)
+            return out.color.sum() + out.depth.sum()
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*a)
+
+    t = amortized(fwd, args, floor=floor)
+    print(f"[v2 sorted] fwd:     {t*1e3:8.2f} ms")
+    t = amortized(fwdbwd, args, floor=floor)
+    print(f"[v2 sorted] fwd+bwd: {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "dump":
+        dump(sys.argv[2])
+    elif cmd == "compare":
+        compare(sys.argv[2], sys.argv[3])
+    elif cmd == "perf":
+        perf()

@@ -99,3 +99,42 @@ def test_e2e_with_pipelined_cpu_vo(tmp_path):
     assert err.max() < 0.06, err
     cnt = report["tracker"]["init_pose_cnt"]
     assert sum(cnt.values()) == 6  # frames 2..7 tracked
+
+
+def test_boundary_frame_is_mapped_when_misaligned(tmp_path):
+    """Submap-boundary frames are mapped even when `new_submap_every` is not
+    a multiple of `map_every` (reference gaussian_slam.py:246-252 maps on
+    is_new_submap unconditionally). Regression: the fresh submap used to
+    stay EMPTY until the next scheduled mapping frame, so the frames in
+    between tracked against nothing (inf loss, raw-odometry poses)."""
+    import json
+    import os
+
+    out = tmp_path / "out"
+    config = load_config("configs/synthetic/base.yaml")
+    config["data"]["output_path"] = str(out)
+    config["data"]["n_frames"] = 8
+    config["cam"].update({"H": 64, "W": 96, "fx": 80.0, "fy": 80.0,
+                          "cx": 47.5, "cy": 31.5})
+    config["mapping"].update({
+        # Boundary at frame 3 (anchor 0 + 3); mapping ids are 0,2,4,6 —
+        # misaligned on purpose.
+        "map_every": 2, "new_submap_every": 3,
+        "iterations": 30, "new_submap_iterations": 60,
+        "max_gaussians": 8192, "new_submap_points_num": 2000,
+        "new_submap_gradient_points_num": 500, "new_frame_sample_size": 500,
+    })
+    config["tracking"]["iterations"] = 10
+    gslam = GaussianSLAM(config)
+    try:
+        gslam.run()
+    finally:
+        gslam.cleanup()
+
+    rows = [json.loads(l)
+            for l in open(os.path.join(str(out), "log.jsonl"))]
+    mapped = {r["frame"] for r in rows if r.get("kind") == "mapping"}
+    # Boundaries land on 3 and 6 (anchor advances to the boundary frame).
+    assert 3 in mapped, mapped
+    track_losses = [r["loss"] for r in rows if r.get("kind") == "tracking"]
+    assert track_losses and all(np.isfinite(track_losses)), track_losses
