@@ -272,8 +272,8 @@ class LoopClosure:
             poses.append(T.copy())
         return np.stack(poses)
 
-    def _register(self, i: int, j: int, anchors: np.ndarray
-                  ) -> RegistrationResult:
+    def _register(self, i: int, j: int, anchors: np.ndarray,
+                  timings=None) -> RegistrationResult:
         """Register current submap i against matched submap j."""
         info_i, info_j = self.infos[i], self.infos[j]
         g_i = info_i.submap.restore_world(anchors[i])
@@ -303,6 +303,7 @@ class LoopClosure:
                 self.overlap_thre, self.top_views, self.pose_opt_iters,
                 localize_level=self.localize_level,
                 localize_restarts=self.localize_restarts,
+                timings=timings,
             )
         if res.successful and res.information is None:
             res = res._replace(
@@ -377,8 +378,10 @@ class LoopClosure:
         new_edges = []
         for j in matches:
             t0 = time.perf_counter()
-            res = self._register(cur, j, anchors)
+            phases = {}
+            res = self._register(cur, j, anchors, timings=phases)
             lat["register_ms"].append(1e3 * (time.perf_counter() - t0))
+            lat.setdefault("register_phases", []).append(phases)
             if not res.successful or not np.all(np.isfinite(res.transformation)):
                 continue
             # Loop edge measurement: Z_j_cur = inv(X_j) @ C @ X_cur.
@@ -403,6 +406,7 @@ class LoopClosure:
             )
             edges_info.append(self._odo_information(s, anchors))
             edges_is_loop.append(False)
+        lat["odo_info_ms"] = 1e3 * (time.perf_counter() - t_pgo)
         for (i, j, Z, info6) in self.loop_edges:
             edges_ij.append((i, j))
             edges_T.append(Z)

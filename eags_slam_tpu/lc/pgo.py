@@ -117,6 +117,61 @@ def _gn_solve(graph: PoseGraph, iters: int = 20, huber: float = 0.5,
     return poses, chi2_of(poses), line_weights(poses)
 
 
+def _next_pow2(x: int, lo: int = 4) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+def _pad_graph(graph: PoseGraph) -> PoseGraph:
+    """Pad nodes/edges to power-of-two buckets so `_gn_solve` compiles once
+    per BUCKET instead of once per (submap count, edge count) — on the
+    tunneled TPU each fresh shape cost ~2.4 s of compile at every closure
+    (measured, 4-node graph). Padded nodes carry identity poses and no
+    edges: their H block is the 1e-6 Tikhonov diagonal with zero gradient,
+    so their update is exactly zero and real nodes are untouched. Padded
+    edges are `edges_valid=False`, which the solver already masks."""
+    n = graph.poses.shape[0]
+    e = graph.edges_T.shape[0]
+    n_pad = _next_pow2(n)
+    e_pad = _next_pow2(e)
+    if n_pad == n and e_pad == e:
+        return graph
+    import numpy as np
+
+    poses = np.concatenate(
+        [np.asarray(graph.poses),
+         np.tile(np.eye(4, dtype=np.float32), (n_pad - n, 1, 1))])
+    ij = np.concatenate(
+        [np.asarray(graph.edges_ij),
+         np.zeros((e_pad - e, 2), np.int32)])
+    T = np.concatenate(
+        [np.asarray(graph.edges_T),
+         np.tile(np.eye(4, dtype=np.float32), (e_pad - e, 1, 1))])
+    info = np.concatenate(
+        [np.asarray(graph.edges_info),
+         np.tile(np.eye(6, dtype=np.float32), (e_pad - e, 1, 1))])
+    valid = np.concatenate(
+        [np.asarray(graph.edges_valid), np.zeros(e_pad - e, bool)])
+    is_loop = np.concatenate(
+        [np.asarray(graph.edges_is_loop), np.zeros(e_pad - e, bool)])
+    return PoseGraph(poses, ij, T, info, valid, is_loop)
+
+
+def _host_device():
+    """CPU device for the solve when the session backend is an accelerator:
+    the graph is tiny (<= ~64 nodes), the persistent compile cache covers
+    CPU executables (it does NOT cover tunneled-TPU programs), and running
+    here keeps the chip free for the main loop."""
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def optimize_pose_graph(
     graph: PoseGraph, iters: int = 20, huber: float = 0.5,
     edge_prune_thres: Optional[float] = None, line_mu: float = 0.25,
@@ -130,15 +185,24 @@ def optimize_pose_graph(
     weight. `line_mu` is the chi-square scale at which a loop edge's
     weight halves (drift tolerance of a genuine closure).
     """
-    if edge_prune_thres is None:
-        poses, _, _ = _gn_solve(graph, iters=iters, huber=huber)
-        return poses
-    poses, _, s = _gn_solve(graph, iters=iters, huber=huber, line_mu=line_mu)
-    bad = graph.edges_is_loop & (s < edge_prune_thres) & graph.edges_valid
-    if not bool(jnp.any(bad)):
-        return poses
-    poses, _, _ = _gn_solve(
-        graph._replace(edges_valid=graph.edges_valid & ~bad),
-        iters=iters, huber=huber,
-    )
-    return poses
+    import contextlib
+
+    n = graph.poses.shape[0]
+    graph = _pad_graph(graph)
+    dev = _host_device()
+    ctx = jax.default_device(dev) if dev is not None else (
+        contextlib.nullcontext())
+    with ctx:
+        if edge_prune_thres is None:
+            poses, _, _ = _gn_solve(graph, iters=iters, huber=huber)
+            return poses[:n]
+        poses, _, s = _gn_solve(graph, iters=iters, huber=huber,
+                                line_mu=line_mu)
+        bad = graph.edges_is_loop & (s < edge_prune_thres) & graph.edges_valid
+        if not bool(jnp.any(bad)):
+            return poses[:n]
+        poses, _, _ = _gn_solve(
+            graph._replace(edges_valid=graph.edges_valid & ~bad),
+            iters=iters, huber=huber,
+        )
+    return poses[:n]

@@ -253,6 +253,7 @@ def gaussian_registration(
     overlap_dist: float = 0.05,
     localize_level: int = 0,
     localize_restarts: int = 4,
+    timings: Optional[Dict[str, object]] = None,
 ) -> RegistrationResult:
     """Estimate correction C aligning the *target* submap onto the *source*.
 
@@ -268,12 +269,23 @@ def gaussian_registration(
     non-frozen rebin-per-step path dominates LC latency (measured 21.7 s
     per registration full-res at 262k / 1200x680, PERF.md).
     """
+    import time as _time
+
+    def _tick(name, t0):
+        if timings is not None:
+            timings[name] = timings.get(name, 0.0) + 1e3 * (
+                _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     p_src, a_src = _pad_params(gauss_src, capacity)
     p_tgt, a_tgt = _pad_params(gauss_tgt, capacity)
+    t0 = _tick("pad_ms", t0)
 
     overlap = float(
         knn.overlap_ratio(p_src.xyz, a_src, p_tgt.xyz, a_tgt, overlap_dist)
     )
+    t0 = _tick("overlap_ms", t0)
     if overlap < overlap_thre:
         return RegistrationResult(False, np.eye(4), 0.0, overlap)
 
@@ -317,11 +329,13 @@ def gaussian_registration(
                 colors.shape[0], cam_l.height, f, cam_l.width, f, 3
             ).mean(axis=(2, 4))
             depths = depths[:, :hc:f, :wc:f]
+        t0 = _tick("views_ms", t0)
         rels, losses_v = _localize_batch(
             p_map, a_map, jnp.asarray(last_w2cs, dtype=jnp.float32),
             colors, depths, pose_opt_iters, localize_restarts, cam_l, rcfg,
         )
         rels = np.asarray(rels, np.float64)
+        t0 = _tick("localize_ms", t0)
         losses_v = np.asarray(losses_v)
         for k, v in enumerate(view_list):
             w2c_new = last_w2cs[k] @ rels[k]
