@@ -38,7 +38,11 @@ DEFAULTS: Dict[str, Any] = {
         "alpha_thre": 0.98,
         "soft_alpha": True,
         "mask_invalid_depth": False,
-        "early_stop_cnt": 10,
+        # Reference Replica protocol (configs/Replica/replica.yaml:32-33):
+        # stop refinement after `cnt` consecutive iterations whose absolute
+        # loss delta is below `thre`.
+        "early_stop_thre": 5.0e-5,
+        "early_stop_cnt": 5,
     },
     "mapping": {
         "new_submap_every": 50,

@@ -115,6 +115,7 @@ class GaussianSLAM:
             filter_outlier_depth=bool(tc["filter_outlier_depth"]),
             soft_alpha=bool(tc["soft_alpha"]),
             mask_invalid_depth=bool(tc.get("mask_invalid_depth", False)),
+            early_stop_thre=float(tc.get("early_stop_thre", 5.0e-5)),
             early_stop_cnt=int(tc["early_stop_cnt"]),
             init_err_ratio=float(tc["init_err_ratio"]),
             enable_exposure=bool(tc.get("enable_exposure", False)),
