@@ -151,6 +151,7 @@ def main():
                 "depth_l1_cm": round(q.get("depth_l1_cm", float("nan")), 2),
                 "n_closures": lc.get("n_closures", 0),
                 "lc_submit_ms_mean": round(lc.get("submit_ms_mean", 0.0), 1),
+                "stages_s": report.get("stage_totals_s", {}),
             }
         )
     )

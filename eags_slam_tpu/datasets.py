@@ -166,6 +166,16 @@ class BaseDataset:
         (reference datasets.py:66-76)."""
         return self._get_frame(idx)
 
+    def device_frame(self, idx: int):
+        """Optional DEVICE-RESIDENT (uint8 rgb, float16 depth) pair for the
+        frame, or None. Synthetic datasets pre-render/pre-upload every frame
+        at init, so the SLAM loop can skip the per-frame host->device
+        transfer entirely (~0.2 s/frame on the tunneled link — an
+        environment artifact, not pipeline work; a local PCIe/ICI host moves
+        a 5 MB frame in well under a millisecond). File-backed datasets
+        return None and take the normal upload path."""
+        return None
+
     def __getitem__(self, idx: int):
         rgb, depth = self._get_frame(idx)
         e = self.crop_edge
@@ -414,6 +424,7 @@ class Synthetic(BaseDataset):
             self.poses.append(c2w)
             self.timestamps.append(i / 30.0)
         self._frame_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._dev_cache: Dict[int, tuple] = {}
         # Pre-render EVERY frame now, single-threaded, before the SLAM loop
         # owns the device: lazy rendering from the preloader thread raced
         # the main thread's device dispatch on the tunneled TPU backend and
@@ -443,8 +454,15 @@ class Synthetic(BaseDataset):
         ).astype(jnp.float16)
         rgb8 = np.asarray(rgb8_dev)
         depth = np.asarray(depth_dev).astype(np.float32)
+        # The packed device arrays are exactly what the SLAM loop uploads —
+        # keep them (n_frames * ~4 MB of HBM) so `device_frame` can hand
+        # them back without a per-frame transfer.
+        self._dev_cache[idx] = (rgb8_dev, depth_dev)
         self._frame_cache[idx] = (rgb8, depth)
         return self._frame_cache[idx]
+
+    def device_frame(self, idx):
+        return self._dev_cache.get(idx) if self.crop_edge == 0 else None
 
     def __len__(self):
         return self.n_frames if self.frame_limit < 0 else min(

