@@ -129,7 +129,10 @@ class Submap:
         extra = {}
         if self.descs is not None:
             extra["descs"] = np.asarray(self.descs, np.float32)
-        np.savez_compressed(
+        # Uncompressed: zlib on the ~10-50 MB payload costs seconds of the
+        # 1-core host's time at every submap boundary (the write sits on
+        # the SLAM loop's critical path); disk is not the scarce resource.
+        np.savez(
             p,
             submap_id=self.submap_id,
             kf_id=self.kf_id,
@@ -145,6 +148,13 @@ class Submap:
     def load(path: str) -> "Submap":
         z = np.load(path)
         gauss = {k[2:]: z[k] for k in z.files if k.startswith("g_")}
+        # All-zero f_rest is stored as a (0, ...) marker (see pack_state);
+        # rebuild the dense zeros so consumers keep a uniform schema.
+        fr = gauss.get("f_rest")
+        if fr is not None and fr.shape[0] == 0 and "xyz" in gauss:
+            gauss["f_rest"] = np.zeros(
+                (gauss["xyz"].shape[0],) + fr.shape[1:], fr.dtype
+            )
         return Submap(
             submap_id=int(z["submap_id"]),
             kf_id=int(z["kf_id"]),
@@ -157,13 +167,28 @@ class Submap:
 
 
 def pack_state(state) -> Dict[str, np.ndarray]:
-    """Alive rows of a GaussianState -> host numpy dict (world frame)."""
+    """Alive rows of a GaussianState -> host numpy dict (world frame).
+
+    `f_rest` (SH degree >= 1, 45 of the ~59 floats per gaussian) is
+    identically zero during SLAM — the mapper optimizes f_dc only and SH
+    upgrades happen in the merged-map refinement (evaluation/merged_map.py).
+    One scalar device probe decides whether to fetch it: moving ~47 MB of
+    zeros across the ~20 MB/s tunneled link at every submap boundary cost
+    seconds of the SLAM loop. The all-zero case travels as a (0, ...)
+    marker that Submap.load re-densifies."""
+    import jax.numpy as jnp
+
     alive = np.asarray(state.alive)
+    p = state.params
+    if bool(np.asarray(jnp.any(p.f_rest != 0))):
+        f_rest = np.asarray(p.f_rest)[alive]
+    else:
+        f_rest = np.zeros((0,) + p.f_rest.shape[1:], np.float32)
     return {
-        "xyz": np.asarray(state.params.xyz)[alive],
-        "f_dc": np.asarray(state.params.f_dc)[alive],
-        "f_rest": np.asarray(state.params.f_rest)[alive],
-        "log_scales": np.asarray(state.params.log_scales)[alive],
-        "quats": np.asarray(state.params.quats)[alive],
-        "opacity_logits": np.asarray(state.params.opacity_logits)[alive],
+        "xyz": np.asarray(p.xyz)[alive],
+        "f_dc": np.asarray(p.f_dc)[alive],
+        "f_rest": f_rest,
+        "log_scales": np.asarray(p.log_scales)[alive],
+        "quats": np.asarray(p.quats)[alive],
+        "opacity_logits": np.asarray(p.opacity_logits)[alive],
     }
