@@ -162,13 +162,24 @@ def project_gaussians(
 
     mid = 0.5 * (a + c)
     lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
-    radius = cfg.sigma_clip * jnp.sqrt(lam_max)
+    opacity = jax.nn.sigmoid(opacity_logits.reshape(-1))
+    # Opacity-aware EXACT footprint: beyond r_cut = sqrt(2 ln(op/a_min)) σ
+    # the per-pixel alpha = op * exp(-q/2) is below alpha_min, which every
+    # compositor here zeroes EXACTLY — value AND gradient (alpha < ALPHA_MIN
+    # -> 0 in the kernels; d_alpha masked on alpha > 0 in the backward). So
+    # candidates past that iso-contour are pure dead work: tighter binning,
+    # identical image and grads. The CUDA reference bins a fixed 3σ
+    # footprint regardless of opacity (src/utils/utils.py:149-186); this
+    # matters most mid-optimization, when decaying gaussians (opacity ->
+    # pruning threshold) otherwise keep full-size footprints. The 1/255
+    # floor matches the kernels' compiled ALPHA_MIN.
+    a_min = min(float(cfg.alpha_min), 1.0 / 255.0)
+    r_cut = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacity / a_min, 1.0 + 1e-6)))
+    radius = jnp.minimum(cfg.sigma_clip, r_cut) * jnp.sqrt(lam_max)
     # Cap so the span fits the duplication budget (see module docstring).
     if radius_cap is None:
         radius_cap = 0.5 * cfg.dup_side * cfg.tile - 1.0
     radius = jnp.minimum(radius, radius_cap)
-
-    opacity = jax.nn.sigmoid(opacity_logits.reshape(-1))
     visible = (
         in_front
         & (u + radius > 0) & (u - radius < cam.width)
