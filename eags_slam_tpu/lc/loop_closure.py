@@ -197,6 +197,17 @@ class LoopClosure:
         (VERDICT r2 weak #7)."""
         def loader(k, fid):
             def load():
+                # Device-resident frames (synthetic datasets keep every
+                # frame in HBM) skip the ~6 MB/view host->device upload on
+                # the tunneled link; file-backed datasets decode + upload.
+                dev = self.dataset.device_frame(int(fid))
+                if dev is not None:
+                    c8_dev, d16_dev = dev
+                    return {
+                        "c2w": Twm @ info.submap.Tmc[k],
+                        "color": c8_dev.astype(jnp.float32) / 255.0,
+                        "depth": d16_dev.astype(jnp.float32),
+                    }
                 _, color, depth, _ = self.dataset[int(fid)]
                 return {
                     "c2w": Twm @ info.submap.Tmc[k],
