@@ -129,6 +129,14 @@ class Submap:
         extra = {}
         if self.descs is not None:
             extra["descs"] = np.asarray(self.descs, np.float32)
+        gauss = dict(self.gaussians)
+        # Re-sparsify all-zero f_rest to the (0, ...) marker (inverse of the
+        # load-side densify): loop closure re-saves every submap after each
+        # PGO to persist the corrected T_prev_m, and writing ~27 MB of SH
+        # zeros per submap put the rewrite on the LC critical path.
+        fr = gauss.get("f_rest")
+        if fr is not None and fr.size and not np.any(fr):
+            gauss["f_rest"] = np.zeros((0,) + fr.shape[1:], fr.dtype)
         # Uncompressed: zlib on the ~10-50 MB payload costs seconds of the
         # 1-core host's time at every submap boundary (the write sits on
         # the SLAM loop's critical path); disk is not the scarce resource.
@@ -140,7 +148,7 @@ class Submap:
             Tmc=self.Tmc,
             kf_frame_ids=np.asarray(self.kf_frame_ids, np.int64),
             **extra,
-            **{f"g_{k}": v for k, v in self.gaussians.items()},
+            **{f"g_{k}": v for k, v in gauss.items()},
         )
         return p
 
