@@ -91,6 +91,11 @@ def _pad_params(g: Dict[str, np.ndarray], capacity: int):
         n = capacity
 
     def pad(x, fill=0.0):
+        if x.size and fill == 0.0 and not x.any():
+            # All-zero channel (SH rest at degree 0 is 45 of the ~59
+            # floats/row): materialize device-side, skipping both the
+            # capacity-sized host buffer and the tunnel upload.
+            return jnp.zeros((capacity,) + x.shape[1:], x.dtype)
         out = np.full((capacity,) + x.shape[1:], fill, x.dtype)
         out[:n] = x
         return jnp.asarray(out)

@@ -147,6 +147,17 @@ class GaussianSLAM:
 
         self._vo_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._vo_next = None  # (frame_id, future): pipelined VO step
+        # Decoupled pipelining: the VO advances on its OWN pose chain (pure
+        # REVO, no per-frame setTwc injection) and the tracker candidate is
+        # composed relatively: slam(f-1) @ inv(vo(f-1)) @ vo(f). step(f+1)
+        # can then be submitted BEFORE track(f)'s device dispatch, so the
+        # CPU-pinned VO overlaps it fully (measured vo_wait ~274 ms/frame
+        # when submission waited for track(f) + injection). The reference
+        # injects the refined pose each frame (VO/system/system.cpp setTwc)
+        # — with per-frame keyframe promotion the injection only re-anchors
+        # the absolute frame, which the relative composition removes anyway.
+        self._vo_decoupled = bool(config.get("vo", {}).get("decoupled", True))
+        self._vo_last = None  # vo(f-1) in the VO's own world frame
         self.odometer = None
         if self.odometry_type == "odometer" or tc.get(
             "help_camera_initialization", False
@@ -499,9 +510,11 @@ class GaussianSLAM:
         VO can instead run across this frame's mapping and the next frame's
         upload, hiding its full ~0.5-1 s). Only safe when the VO is on the
         host CPU backend: its programs never touch the tunneled device, so
-        the worker thread cannot race main-thread device dispatch. Must be
-        called AFTER set_pose(frame_id, ...) so the step sees the corrected
-        pose chain."""
+        the worker thread cannot race main-thread device dispatch. In
+        coupled mode this must be called AFTER set_pose(frame_id, ...) so
+        the step sees the corrected pose chain; in decoupled mode the VO
+        advances on its own chain and is submitted before the track
+        dispatch (the main thread must not mutate VO state afterwards)."""
         if (self.odometer is None or not self.odometer.on_cpu
                 or frame_id + 1 >= n):
             return
@@ -580,6 +593,7 @@ class GaussianSLAM:
                             rgb0, d0, self.dataset.timestamps[frame_id]
                         )
                     self.odometer.set_pose(frame_id, gt_pose)
+                    self._vo_last = np.asarray(gt_pose, np.float64)
                     self._submit_vo_next(frame_id, n)
             else:
                 # VO step dispatched concurrently with candidate prep
@@ -607,8 +621,21 @@ class GaussianSLAM:
                 }
                 t_vo = time.perf_counter()
                 if vo_future is not None:
-                    vo_c2w = vo_future.result()
-                    if frame_id >= 3:
+                    vo_c2w = np.asarray(vo_future.result(), np.float64)
+                    if self._vo_decoupled:
+                        # Compose the VO's own relative motion onto the
+                        # SLAM chain; vo(f-1)/vo(f) live in the VO frame.
+                        if frame_id >= 3 and self._vo_last is not None:
+                            candidates["odometer"] = (
+                                p1
+                                @ np.linalg.inv(self._vo_last)
+                                @ vo_c2w
+                            )
+                        self._vo_last = vo_c2w
+                        # The worker is idle now; step(f+1) overlaps the
+                        # track dispatch below (no injection afterwards).
+                        self._submit_vo_next(frame_id, n)
+                    elif frame_id >= 3:
                         candidates["odometer"] = vo_c2w
                 vo_wait_ms = 1e3 * (time.perf_counter() - t_vo)
 
@@ -623,7 +650,10 @@ class GaussianSLAM:
                 )
                 self.estimated_c2ws[frame_id] = c2w
                 self.exposures_ab[frame_id] = np.asarray(exposure)
-                if self.odometer is not None:
+                if self.odometer is not None and not self._vo_decoupled:
+                    # Coupled mode (reference setTwc semantics): inject the
+                    # refined pose, then pipeline step(f+1) — it must see
+                    # the corrected chain, so submission waits until here.
                     self.odometer.set_pose(frame_id, c2w)
                     self._submit_vo_next(frame_id, n)
                 stats["vo_wait_ms"] = vo_wait_ms
