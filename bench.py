@@ -77,6 +77,12 @@ def make_config(n_frames: int, out: str):
             "max_gaussians": 1 << 18,
             "tile_capacity": 1024,
             "max_keyframes": 32,
+            # Adaptive converged-tile freezing: last 35% of each optimize
+            # runs on the top-quarter residual tiles (full-image iteration
+            # per kf_block keeps bookkeeping/ranking honest). Quality
+            # parity: tests/test_mapper_resident.py, bench ATE/PSNR.
+            "freeze_frac": 0.25,
+            "freeze_after": 0.65,
         }
     )
     config["tracking"].update({

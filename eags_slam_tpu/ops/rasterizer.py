@@ -653,8 +653,31 @@ def render_sorted_resident(
     the CURRENT params; only segment membership is frozen — a gaussian whose
     center drifts outside its init +-r_n tile neighborhood within a block is
     clipped (same semantics as the tracking FrozenSorted path)."""
+    proj, attrs_sorted = _resident_attrs(
+        means3d, quats, log_scales, opacity_logits, colors, w2c, cam, cfg,
+        alive,
+    )
     from .rasterizer_pallas_v2 import composite_sorted
 
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
+                           cfg.tile, tiles_x, cfg.group, cfg.bands,
+                           cfg.seg_cap, cfg.kernel_bf16,
+                           cfg.kernel_quadform)
+    color, depth, alpha = _assemble_image(out, cam, cfg)
+    color = color[: cam.height, : cam.width]
+    depth = depth[: cam.height, : cam.width]
+    alpha = alpha[: cam.height, : cam.width]
+    radii = jnp.ceil(proj.radius).astype(jnp.int32)
+    return RenderOutput(color, depth, alpha, radii)
+
+
+def _resident_attrs(means3d, quats, log_scales, opacity_logits, colors, w2c,
+                    cam: Camera, cfg: RasterConfig, alive):
+    """Shared projection + sorted-order attr stack for the resident renders
+    (rows are ALREADY in `sorted_layout` order — no gather)."""
     proj = project_gaussians(means3d, quats, log_scales, opacity_logits,
                              w2c, cam, cfg, alive,
                              radius_cap=_v2_radius_cap(cfg))
@@ -673,20 +696,37 @@ def render_sorted_resident(
         ] + [zeros_n] * (NCH - 11),
         axis=0,
     )
-    attrs_sorted = _pad_sorted(attrs, cfg)
+    return proj, _pad_sorted(attrs, cfg)
+
+
+def render_sorted_resident_tiles(
+    means3d, quats, log_scales, opacity_logits, colors, w2c,
+    seg_start, seg_cnt, tile_ids, cam: Camera, cfg: RasterConfig, alive=None,
+) -> "TileRender":
+    """Tile-subset variant of `render_sorted_resident` (adaptive
+    converged-tile freezing, PERF.md round 3): composites only `tile_ids`
+    (S,) from the RESIDENT center-tile-sorted layout. Kernel work scales
+    with S; projection stays N-proportional. Same frozen-segment-membership
+    semantics as `render_sorted_resident`."""
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    _, attrs_sorted = _resident_attrs(
+        means3d, quats, log_scales, opacity_logits, colors, w2c, cam, cfg,
+        alive,
+    )
     tiles_x = -(-cam.width // cfg.tile)
-    tiles_y = -(-cam.height // cfg.tile)
-    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
-    out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
-                           cfg.tile, tiles_x, cfg.group, cfg.bands,
-                           cfg.seg_cap, cfg.kernel_bf16,
-                           cfg.kernel_quadform)
-    color, depth, alpha = _assemble_image(out, cam, cfg)
-    color = color[: cam.height, : cam.width]
-    depth = depth[: cam.height, : cam.width]
-    alpha = alpha[: cam.height, : cam.width]
-    radii = jnp.ceil(proj.radius).astype(jnp.int32)
-    return RenderOutput(color, depth, alpha, radii)
+    out = composite_sorted(attrs_sorted, seg_start, seg_cnt,
+                           tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
+                           cfg.group, cfg.bands, cfg.seg_cap,
+                           cfg.kernel_bf16, cfg.kernel_quadform)
+    s = tile_ids.shape[0]
+    ts = cfg.tile
+    img = out[:s, :5].reshape(s, 5, ts, ts)
+    return TileRender(
+        color=jnp.transpose(img[:, 0:3], (0, 2, 3, 1)),
+        depth=img[:, 3],
+        alpha=img[:, 4],
+    )
 
 
 # ---------------------------------------------------------------------------

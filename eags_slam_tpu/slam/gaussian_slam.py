@@ -104,6 +104,8 @@ class GaussianSLAM:
             max_keyframes=int(mc.get("max_keyframes", 32)),
             tile_subset=int(mc.get("tile_subset", 0)),
             kf_block=int(mc.get("kf_block", 10)),
+            freeze_frac=float(mc.get("freeze_frac", 0.0)),
+            freeze_after=float(mc.get("freeze_after", 0.65)),
         )
         self.tcfg = TrackerConfig(
             iterations=int(tc["iterations"]),
@@ -697,6 +699,8 @@ class GaussianSLAM:
                     is_new_submap or frame_id == 0,
                 )
                 self.map_times.append(time.perf_counter() - t_map)
+                stats["map_ms"] = 1e3 * (time.perf_counter() - t_map)
+                stats["is_new"] = bool(is_new_submap or frame_id == 0)
                 self.logger.log_mapping(frame_id, stats)
 
             if self.loop_closer is not None:

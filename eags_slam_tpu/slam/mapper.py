@@ -73,6 +73,16 @@ class MapperConfig(NamedTuple):
     # vanish; one stacked permute per block amortizes over the block.
     # 0 disables (per-iteration keyframe sampling, as the reference).
     kf_block: int = 10
+    # Adaptive converged-tile freezing (PERF.md round 3): once `it >=
+    # freeze_after * iterations` (default just past the last 60% prune),
+    # each kf_block starts with ONE full-image iteration that does the
+    # bookkeeping tick and ranks tiles by masked L1 residual; the rest of
+    # the block optimizes only the top `freeze_frac` fraction of tiles.
+    # Converged tiles contribute ~zero gradient, so skipping them leaves
+    # the optimization unchanged while kernel work drops ~1/freeze_frac
+    # for the frozen phase. 0 disables. Resident path only.
+    freeze_frac: float = 0.0
+    freeze_after: float = 0.65
     # 3DGS LRs (reference arguments.py:53-72; xyz schedule barely moves over
     # <=1k submap iters so the initial value is used).
     lr_xyz: float = 1e-4
@@ -487,10 +497,17 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
     granularity. Segment membership is frozen within a block (drift-clipping
     semantics of ops.rasterizer.render_sorted_resident).
     """
-    from ..ops.rasterizer import render_sorted_resident, sorted_layout
+    from ..ops.rasterizer import (render_sorted_resident,
+                                  render_sorted_resident_tiles, sorted_layout)
 
     r_block = int(mcfg.kf_block)
     n = state.alive.shape[0]
+    tiles_x = -(-cam.width // rcfg.tile)
+    tiles_y = -(-cam.height // rcfg.tile)
+    num_tiles = tiles_x * tiles_y
+    use_freeze = mcfg.freeze_frac > 0 and r_block > 1
+    k_act = max(1, int(round(num_tiles * mcfg.freeze_frac)))
+    freeze_start = max(1, int(mcfg.freeze_after * iterations))
 
     def loss_fn(opt: OptimizedParams, f_dc, alive, kidx, seg_start, seg_cnt):
         gt_color = kfs.color[kidx]
@@ -510,9 +527,47 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
         depth_loss = masked_l1(out.depth, gt_depth, mask.astype(image.dtype))
         reg = isotropic_loss(opt.log_scales, alive)
         total = color_loss + depth_loss + reg
-        return total, (color_loss, depth_loss)
+        # Per-tile masked residual map for the freeze-phase tile ranking
+        # (DCE'd by XLA when unused).
+        err = (jnp.abs(image - gt_color).mean(-1)
+               + jnp.abs(jnp.nan_to_num(out.depth) - gt_depth)
+               ) * mask.astype(image.dtype)
+        err = jnp.pad(err, ((0, tiles_y * rcfg.tile - err.shape[0]),
+                            (0, tiles_x * rcfg.tile - err.shape[1])))
+        res_tiles = err.reshape(tiles_y, rcfg.tile, tiles_x,
+                                rcfg.tile).sum((1, 3)).reshape(-1)
+        return total, (color_loss, depth_loss,
+                       jax.lax.stop_gradient(res_tiles))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def loss_fn_sub(opt: OptimizedParams, f_dc, alive, kidx, seg_start,
+                    seg_cnt, tile_sel):
+        gt_c = gt_tiles(kfs.color[kidx], tile_sel, rcfg.tile, tiles_x,
+                        tiles_y)
+        gt_d = gt_tiles(kfs.depth[kidx], tile_sel, rcfg.tile, tiles_x,
+                        tiles_y)
+        exp_a, exp_b = kfs.exposure[kidx, 0], kfs.exposure[kidx, 1]
+        out = render_sorted_resident_tiles(
+            opt.xyz, opt.quats, opt.log_scales, opt.opacity_logits,
+            sh_to_rgb(f_dc), kfs.w2c[kidx], seg_start, seg_cnt, tile_sel,
+            cam, rcfg, alive=alive,
+        )
+        image = jnp.clip(out.color * jnp.exp(exp_a) + exp_b, 0.0, 1.0)
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth)
+        color_l1 = masked_l1(image, gt_c, mask.astype(image.dtype))
+        # SSIM windowed within each tile (same border bias every iteration;
+        # see the tile-subset loss in _optimize_core).
+        ssim_t = jnp.mean(jax.vmap(ssim)(image, gt_c))
+        color_loss = (
+            (1.0 - mcfg.lambda_dssim) * color_l1
+            + mcfg.lambda_dssim * (1.0 - ssim_t)
+        )
+        depth_loss = masked_l1(out.depth, gt_d, mask.astype(image.dtype))
+        reg = isotropic_loss(opt.log_scales, alive)
+        return color_loss + depth_loss + reg, (color_loss, depth_loss)
+
+    grad_fn_sub = jax.value_and_grad(loss_fn_sub, has_aux=True)
 
     class RCarry(NamedTuple):
         it: jnp.ndarray
@@ -554,10 +609,9 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
                                       ck_vmax),
         )
 
-        def iter_body(ic):
-            it, opt, adam, alive, book, losses = ic
-            (total, (cl, dl)), grads = grad_fn(opt, f_dc, alive, kidx,
-                                               seg_start, seg_cnt)
+        def full_step(it, opt, adam, alive, book, losses):
+            (total, (cl, dl, res)), grads = grad_fn(opt, f_dc, alive, kidx,
+                                                    seg_start, seg_cnt)
             gmask = alive.astype(jnp.float32)
             grads = jax.tree.map(
                 lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)),
@@ -567,7 +621,11 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
             book, opt, adam, alive = book_step(book, it, total, new_opt,
                                                new_adam, alive)
             losses = losses.at[it].set(jnp.stack([total, cl, dl]))
-            return (it + 1, opt, adam, alive, book, losses)
+            return (it + 1, opt, adam, alive, book, losses), res
+
+        def iter_body(ic):
+            out, _ = full_step(*ic)
+            return out
 
         # First block covers exactly the reference's 5 current-frame-pinned
         # iterations (mapper.py:146-150) instead of a full kf_block
@@ -580,11 +638,56 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
             jnp.minimum(r_block, iterations - it0),
         )
         end = it0 + n_it
-        it, opt, adam, alive, book, losses = jax.lax.while_loop(
-            lambda ic: (ic[0] < end) & ~ic[4].stopped,
-            iter_body,
-            (it0, opt, adam, alive, book, c.losses),
-        )
+        carry0 = (it0, opt, adam, alive, book, c.losses)
+
+        def full_tail(carry_in):
+            return jax.lax.while_loop(
+                lambda ic: (ic[0] < end) & ~ic[4].stopped, iter_body,
+                carry_in,
+            )
+
+        if use_freeze:
+            def subset_tail(carry_in):
+                # One full iteration: bookkeeping tick + tile ranking; then
+                # the rest of the block on the top-k_act residual tiles.
+                # Frozen tiles carry ~zero gradient, so skipping them leaves
+                # the update stream unchanged while kernel work scales with
+                # k_act/num_tiles. The bookkeeping EMA is fed only by full
+                # iterations (subset losses are high-residual-biased);
+                # prune/ckpt stay keyed on the iteration index.
+                carry_f, res = full_step(*carry_in)
+                _, tile_sel = jax.lax.top_k(res, k_act)
+                tile_sel = tile_sel.astype(jnp.int32)
+
+                def sub_body(ic):
+                    it, opt, adam, alive, book, losses = ic
+                    (total, (cl, dl)), grads = grad_fn_sub(
+                        opt, f_dc, alive, kidx, seg_start, seg_cnt, tile_sel
+                    )
+                    gmask = alive.astype(jnp.float32)
+                    grads = jax.tree.map(
+                        lambda g: g * gmask.reshape(
+                            (-1,) + (1,) * (g.ndim - 1)),
+                        grads,
+                    )
+                    new_opt, new_adam = optim.adam_update(adam, opt, grads,
+                                                          lr_tree)
+                    book, opt, adam, alive = book_step(book, it, book.ema,
+                                                       new_opt, new_adam,
+                                                       alive)
+                    losses = losses.at[it].set(jnp.stack([total, cl, dl]))
+                    return (it + 1, opt, adam, alive, book, losses)
+
+                return jax.lax.while_loop(
+                    lambda ic: (ic[0] < end) & ~ic[4].stopped, sub_body,
+                    carry_f,
+                )
+
+            it, opt, adam, alive, book, losses = jax.lax.cond(
+                it0 >= freeze_start, subset_tail, full_tail, carry0
+            )
+        else:
+            it, opt, adam, alive, book, losses = full_tail(carry0)
         return RCarry(it, perm, opt, adam, f_dc, alive, book, key, losses)
 
     init = RCarry(

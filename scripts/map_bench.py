@@ -64,6 +64,33 @@ def timed(fn, reps=3):
     return float(np.median(ts))
 
 
+def load_npz_scene(path, n):
+    """Real-scene occupancy: load a saved submap's gaussians, subsample or
+    truncate to n rows (EAGS_MAPBENCH_NPZ mode)."""
+    from eags_slam_tpu.core.camera import Camera
+
+    d = np.load(path)
+    m = d["g_xyz"].shape[0]
+    idx = (np.random.default_rng(0).choice(m, n, replace=False)
+           if m >= n else np.arange(m))
+    pad = n - len(idx)
+
+    def take(x, fill=0.0):
+        out = x[idx]
+        if pad:
+            out = np.concatenate(
+                [out, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+        return jnp.asarray(out)
+
+    cam = Camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5, width=1200,
+                 height=680)
+    w2c = np.linalg.inv(d["Tmc"][0]).astype(np.float32)
+    return cam, (take(d["g_xyz"]), take(d["g_quats"]),
+                 take(d["g_log_scales"], -10.0),
+                 take(d["g_opacity_logits"], -10.0),
+                 take(d["g_f_dc"])), jnp.asarray(w2c), min(m, n), pad
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 40
@@ -73,7 +100,14 @@ def main():
     from eags_slam_tpu.ops.rasterizer import RasterConfig
     from eags_slam_tpu.slam import mapper as M
 
-    cam, (means, quats, log_scales, opac, f_dc) = make_scene(n, h, w)
+    npz = os.environ.get("EAGS_MAPBENCH_NPZ")
+    kf_w2c = jnp.eye(4)
+    if npz:
+        cam, (means, quats, log_scales, opac, f_dc), kf_w2c, n_real, pad = (
+            load_npz_scene(npz, n))
+        print(f"npz scene {npz}: {n_real} real rows, {pad} padded")
+    else:
+        cam, (means, quats, log_scales, opac, f_dc) = make_scene(n, h, w)
     rcfg = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
                         seg_cap=1024, bands=3)
     floor = measure_floor()
@@ -86,15 +120,15 @@ def main():
         xyz=means, f_dc=f_dc, log_scales=log_scales, quats=quats,
         opacity_logits=opac,
     )
-    state = G.GaussianState(params, jnp.ones((n,), bool), state.adam)
+    alive = (jnp.arange(n) < (n_real if npz else n))
+    state = G.GaussianState(params, alive, state.adam)
 
     rng = np.random.default_rng(1)
     kfs = M.empty_keyframes(8, cam)
     for k in range(4):
         c = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
         d = jnp.asarray(rng.uniform(1.0, 5.0, (h, w)).astype(np.float32))
-        w2c = jnp.eye(4)
-        kfs = M.push_keyframe(kfs, k, c, d, w2c, jnp.zeros(2))
+        kfs = M.push_keyframe(kfs, k, c, d, kf_w2c, jnp.zeros(2))
     jax.block_until_ready(kfs.color)
 
     key = jax.random.PRNGKey(0)

@@ -120,3 +120,28 @@ def test_resident_reaches_regular_quality(scene):
     p_res = _psnr_of(s_res, color)
     assert p_reg > 23, p_reg
     assert p_res > p_reg - 0.75, (p_res, p_reg)
+
+
+def test_freeze_tiles_quality_parity(scene):
+    """Adaptive converged-tile freezing (PERF.md round 3): with the last
+    ~60% of iterations optimizing only the top-residual quarter of tiles,
+    final quality must stay within SGD noise of the full-image run —
+    frozen tiles are the converged ones, whose gradients are ~zero."""
+    color, depth = scene
+    mc_full = M.MapperConfig(max_keyframes=4, kf_block=8)
+    mc_frz = M.MapperConfig(max_keyframes=4, kf_block=8,
+                            freeze_frac=0.25, freeze_after=0.4)
+
+    s_full, _ = _optimize(_seeded_state(color, depth), color, depth,
+                          mc_full, iters=64)
+    s_frz, aux = _optimize(_seeded_state(color, depth), color, depth,
+                           mc_frz, iters=64)
+
+    p_full = _psnr_of(s_full, color)
+    p_frz = _psnr_of(s_frz, color)
+    assert p_full > 23, p_full
+    assert p_frz > p_full - 1.0, (p_frz, p_full)
+    # The freeze phase ran: subset losses (high-residual tiles only) are
+    # recorded in the tail and differ from the full-image scale.
+    losses = np.asarray(aux["losses"])
+    assert losses.shape[0] == 64 and np.all(np.isfinite(losses[:, 0]))
