@@ -77,12 +77,14 @@ def make_config(n_frames: int, out: str):
             "max_gaussians": 1 << 18,
             "tile_capacity": 1024,
             "max_keyframes": 32,
-            # Adaptive converged-tile freezing: last 35% of each optimize
-            # runs on the top-quarter residual tiles (full-image iteration
-            # per kf_block keeps bookkeeping/ranking honest). Quality
-            # parity: tests/test_mapper_resident.py, bench ATE/PSNR.
+            # Adaptive converged-tile freezing: after the first prune, each
+            # optimize runs on the top-quarter residual tiles (one
+            # full-image iteration per kf_block keeps bookkeeping honest
+            # and re-ranks; the 60% prune/rollback stays keyed on the
+            # iteration index). Quality parity:
+            # tests/test_mapper_resident.py, this bench's ATE/PSNR.
             "freeze_frac": 0.25,
-            "freeze_after": 0.65,
+            "freeze_after": 0.4,
         }
     )
     config["tracking"].update({
@@ -90,6 +92,10 @@ def make_config(n_frames: int, out: str):
         "odometry_type": "odometer",     # edge VO in the loop
         "help_camera_initialization": False,
         "enable_exposure": True,         # the scene has exposure drift
+        # Refinement on the top-1/8 gradient-energy tiles (measured 3.87 vs
+        # 7.71 ms/iter at 0.25; the pose has ~7 DOF — quality gated by this
+        # bench's own ATE, candidates still score full-image).
+        "tile_subset_frac": 0.125,
     })
     config["lc"] = {
         "enabled": True, "parallel": True, "min_interval": 2,

@@ -286,9 +286,14 @@ class LoopClosure:
     def _register(self, i: int, j: int, anchors: np.ndarray,
                   timings=None) -> RegistrationResult:
         """Register current submap i against matched submap j."""
+        import time as _t
+
+        t0 = _t.perf_counter()
         info_i, info_j = self.infos[i], self.infos[j]
         g_i = info_i.submap.restore_world(anchors[i])
         g_j = info_j.submap.restore_world(anchors[j])
+        if timings is not None:
+            timings["restore_ms"] = 1e3 * (_t.perf_counter() - t0)
         if self.registration == "identity":
             return RegistrationResult(True, np.eye(4), 1.0, 1.0)
         if self.registration == "gt" and self.dataset is not None:
@@ -317,10 +322,13 @@ class LoopClosure:
                 timings=timings,
             )
         if res.successful and res.information is None:
+            t0 = _t.perf_counter()
             res = res._replace(
                 information=self._edge_information(g_i, g_j,
                                                    res.transformation)
             )
+            if timings is not None:
+                timings["info_ms"] = 1e3 * (_t.perf_counter() - t0)
         return res
 
     def _edge_information(self, g_i, g_j, C: np.ndarray) -> np.ndarray:

@@ -122,6 +122,7 @@ class GaussianSLAM:
             init_err_ratio=float(tc["init_err_ratio"]),
             enable_exposure=bool(tc.get("enable_exposure", False)),
             debug_per_iter=bool(tc.get("debug_per_iter", False)),
+            tile_subset_frac=float(tc.get("tile_subset_frac", 0.25)),
         )
         self.gt_camera = bool(tc.get("gt_camera", False))
         self.odometry_type = str(tc.get("odometry_type", "const_speed"))
