@@ -64,11 +64,18 @@ def _refine_chunk(
     colors, depths, w2cs, cam_centers, exposures, n_frames,
     iters: int, sh_degree: int, cam: Camera, rcfg: RasterConfig,
     prune_every: int = 500, lambda_dssim: float = 0.2,
+    it0: int = 0, lr_max_steps: int = 30000,
 ):
-    lr = GaussianParams(
-        xyz=1e-4, f_dc=2.5e-3, f_rest=2.5e-3 / 20.0, log_scales=5e-3,
-        quats=1e-3, opacity_logits=0.05,
-    )
+    def lr_at(it):
+        # Reference exp xyz LR schedule (gaussian_model_utils get_expon_lr_
+        # func, plumbed only in the 30k refinement, evaluate_merged_map:87):
+        # log-lerp 1e-4 -> 1.6e-6 over max_steps (delay_steps=0).
+        t = jnp.clip((it0 + it) / lr_max_steps, 0.0, 1.0)
+        xyz_lr = jnp.exp((1.0 - t) * jnp.log(1e-4) + t * jnp.log(1.6e-6))
+        return GaussianParams(
+            xyz=xyz_lr, f_dc=2.5e-3, f_rest=2.5e-3 / 20.0, log_scales=5e-3,
+            quats=1e-3, opacity_logits=0.05,
+        )
 
     def loss_fn(p: GaussianParams, al, fi):
         rgb = sh_colors(sh_degree, p.f_dc, p.f_rest, p.xyz, cam_centers[fi])
@@ -96,7 +103,8 @@ def _refine_chunk(
         grads = jax.tree.map(
             lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
         )
-        new_p, new_adam = optim.adam_update(c.adam, c.params, grads, lr)
+        new_p, new_adam = optim.adam_update(c.adam, c.params, grads,
+                                            lr_at(it))
         do_prune = (it % prune_every == 0) & (it != 0)
         alive = c.alive & ~(
             do_prune & (jax.nn.sigmoid(new_p.opacity_logits[:, 0]) < 0.005)
@@ -157,6 +165,7 @@ def refine_global_map(
             jnp.asarray(np.stack(w2cs)), jnp.asarray(np.stack(ccs)),
             jnp.asarray(np.stack(exps)), jnp.asarray(len(batch), jnp.int32),
             it, sh_degree, cam, rcfg,
+            it0=jnp.asarray(done, jnp.float32), lr_max_steps=iterations,
         )
         done += it
     return params, np.asarray(alive)
