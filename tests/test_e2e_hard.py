@@ -46,6 +46,12 @@ def hard_run(tmp_path_factory):
     config["tracking"].update({
         "iterations": 30,
         "enable_exposure": True,
+        # The reference's early-stop threshold (5e-5, now the default) is
+        # calibrated for full-resolution loss scales; at 128x96 the loss
+        # deltas are ~100x smaller and it trips mid-refinement (measured
+        # ATE 3.3 cm vs 2.x before the protocol plumb). Scale it down so
+        # this test keeps isolating model-mismatch quality.
+        "early_stop_thre": 1.0e-6,
     })
     gslam = GaussianSLAM(config)
     try:
