@@ -84,7 +84,7 @@ def make_config(n_frames: int, out: str):
             # iteration index). Quality parity:
             # tests/test_mapper_resident.py, this bench's ATE/PSNR.
             "freeze_frac": 0.25,
-            "freeze_after": 0.4,
+            "freeze_after": 0.3,
         }
     )
     config["tracking"].update({
@@ -94,8 +94,15 @@ def make_config(n_frames: int, out: str):
         "enable_exposure": True,         # the scene has exposure drift
         # Refinement on the top-1/8 gradient-energy tiles (measured 3.87 vs
         # 7.71 ms/iter at 0.25; the pose has ~7 DOF — quality gated by this
-        # bench's own ATE, candidates still score full-image).
+        # bench's own ATE, candidates still score full-image). The last 12
+        # iterations run on the top-1/4 tiles (warm optimizer state) to
+        # remove the narrow subset's selection bias from the final pose:
+        # run 7 showed 1/8 alone regresses ATE 0.92 -> 1.20 cm while pure
+        # 1/4 (run 6, 0.92 cm) is fine — the polish ends the frame at the
+        # validated 1/4 optimum at nearly 1/8 cost.
         "tile_subset_frac": 0.125,
+        "polish_iters": 12,
+        "polish_frac": 0.25,
     })
     config["lc"] = {
         "enabled": True, "parallel": True, "min_interval": 2,

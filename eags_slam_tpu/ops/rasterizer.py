@@ -1066,6 +1066,20 @@ def render_tiles(
     )
 
 
+def tile_sums(x: jnp.ndarray, ts: int, tiles_x: int, tiles_y: int):
+    """Per-tile sums of an (H, W) map, flattened to (tiles_y * tiles_x,).
+
+    Two staged single-axis reductions instead of
+    `reshape(TY, ts, TX, ts).sum((1, 3))`: the two-axis 4D reduce lowers to
+    a transposing reduction costing ~6-12 ms at 1200x680 on the v5e
+    (measured, PERF.md round 3); minor-axis-then-sublane reduces are ~free.
+    """
+    hp, wp = tiles_y * ts, tiles_x * ts
+    xp = jnp.pad(x, ((0, hp - x.shape[0]), (0, wp - x.shape[1])))
+    col = xp.reshape(hp, tiles_x, ts).sum(-1)            # (hp, TX)
+    return col.reshape(tiles_y, ts, tiles_x).sum(1).reshape(-1)
+
+
 def gt_tiles(image: jnp.ndarray, tile_ids: jnp.ndarray, ts: int,
              tiles_x: int, tiles_y: int):
     """Gather ground-truth tiles matching `render_tiles` output.

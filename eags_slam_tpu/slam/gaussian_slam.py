@@ -123,6 +123,8 @@ class GaussianSLAM:
             enable_exposure=bool(tc.get("enable_exposure", False)),
             debug_per_iter=bool(tc.get("debug_per_iter", False)),
             tile_subset_frac=float(tc.get("tile_subset_frac", 0.25)),
+            polish_iters=int(tc.get("polish_iters", 0)),
+            polish_frac=float(tc.get("polish_frac", 1.0)),
         )
         self.gt_camera = bool(tc.get("gt_camera", False))
         self.odometry_type = str(tc.get("odometry_type", "const_speed"))

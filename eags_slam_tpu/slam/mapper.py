@@ -409,27 +409,40 @@ def _book_step(book: _BookState, it, total, opt, adam, alive, *,
     last prune. Returns (book', opt', adam', alive')."""
     ema = jnp.where(it == 0, total, ema_beta * book.ema + (1 - ema_beta) * total)
 
-    # Checkpoint best state every 5% iters (reference :192-198).
+    # Checkpoint best state every 5% iters (reference :192-198). The tree
+    # copies are `lax.cond`s, NOT `jnp.where` selects: a scalar-pred where
+    # over the (params + Adam moments) x2 trees materializes ~90 channels
+    # of N rows EVERY iteration (~12 ms/iter at 262k on the v5e — measured,
+    # PERF.md round 3), while a cond's identity branch aliases the carry
+    # and the copy runs only on the iterations that actually checkpoint.
     is_ckpt_iter = (it % ckpt_every == 0) & (it != 0)
     improved = ema < book.best_loss
     take = is_ckpt_iter & improved
-    ckpt_opt = jax.tree.map(lambda n, o: jnp.where(take, n, o), opt,
-                            book.ckpt_opt)
-    ckpt_adam = jax.tree.map(lambda n, o: jnp.where(take, n, o), adam,
-                             book.ckpt_adam)
+    ckpt_opt, ckpt_adam = jax.lax.cond(
+        take,
+        lambda _: (opt, adam),
+        lambda _: (book.ckpt_opt, book.ckpt_adam),
+        None,
+    )
     best_loss = jnp.where(take, ema, book.best_loss)
     has_ckpt = book.has_ckpt | take
 
     # Prune (+ rollback to checkpoint when the prune-time loss is worse).
     is_prune = (it == prune_iters[0]) | (it == prune_iters[1])
     rollback = is_prune & has_ckpt & (best_loss < ema)
-    opt = jax.tree.map(lambda ck, o: jnp.where(rollback, ck, o), ckpt_opt, opt)
-    adam = jax.tree.map(lambda ck, a: jnp.where(rollback, ck, a), ckpt_adam,
-                        adam)
-    kill = is_prune & alive & (
-        jax.nn.sigmoid(opt.opacity_logits[:, 0]) < pruning_thre
+    opt, adam = jax.lax.cond(
+        rollback,
+        lambda _: (ckpt_opt, ckpt_adam),
+        lambda _: (opt, adam),
+        None,
     )
-    alive = alive & ~kill
+    alive = jax.lax.cond(
+        is_prune,
+        lambda a: a & ~(jax.nn.sigmoid(opt.opacity_logits[:, 0])
+                        < pruning_thre),
+        lambda a: a,
+        alive,
+    )
     best_loss = jnp.where(is_prune, jnp.inf, best_loss)
     has_ckpt = has_ckpt & ~is_prune
 
@@ -532,10 +545,8 @@ def _optimize_resident(state, frozen, kfs, key, iterations, cam, rcfg, mcfg,
         err = (jnp.abs(image - gt_color).mean(-1)
                + jnp.abs(jnp.nan_to_num(out.depth) - gt_depth)
                ) * mask.astype(image.dtype)
-        err = jnp.pad(err, ((0, tiles_y * rcfg.tile - err.shape[0]),
-                            (0, tiles_x * rcfg.tile - err.shape[1])))
-        res_tiles = err.reshape(tiles_y, rcfg.tile, tiles_x,
-                                rcfg.tile).sum((1, 3)).reshape(-1)
+        from ..ops.rasterizer import tile_sums
+        res_tiles = tile_sums(err, rcfg.tile, tiles_x, tiles_y)
         return total, (color_loss, depth_loss,
                        jax.lax.stop_gradient(res_tiles))
 

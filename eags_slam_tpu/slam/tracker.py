@@ -63,6 +63,15 @@ class TrackerConfig(NamedTuple):
     # nearly the full-image gradient at a fraction of the kernel cost;
     # candidate scoring stays full-image (reference protocol). 0 disables.
     tile_subset_frac: float = 0.25
+    # Polish phase: with tile-subset refinement on, run the LAST
+    # `polish_iters` iterations on a WIDER tile set (`polish_frac` of the
+    # tiles; 1.0 = full image), warm-starting pose AND optimizer state from
+    # the subset phase. The subset phase does the cheap bulk convergence;
+    # the polish removes (most of) the subset-selection bias from the final
+    # pose (the subset optimum is shifted by whichever tiles were picked).
+    # 0 disables (pure subset refinement).
+    polish_iters: int = 0
+    polish_frac: float = 1.0
     # Per-iteration diagnostics (reference logger.py:24-93 logs loss + pose
     # error per tracking iteration): the refinement runs as a scan with
     # stacked per-iter (total, color, depth, lr_scale, quat4, trans3)
@@ -249,9 +258,15 @@ def _make_loss_fn(
     return loss_fn
 
 
-def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig):
+def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig,
+            warm=None):
     """Pose-refinement while_loop over `loss_fn(PoseParams) -> (total, (cl,
-    dl))`; returns (rel_best 4x4, exposure, stats_vec)."""
+    dl))`; returns (rel_best 4x4, exposure, stats_vec, per_iter, carry).
+
+    `warm` (adam, plateau) continues a previous phase's optimizer state
+    instead of a cold Adam start (used by the tile-subset -> full-image
+    polish, where a fresh Adam's bias-corrected first steps are full-size
+    +-lr kicks that a short polish budget cannot recover from)."""
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def cond(c: _TrackCarry):
@@ -302,11 +317,13 @@ def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig):
 
     q0 = rotmat_to_quat(init_rel[:3, :3])
     pose0 = PoseParams(q0, init_rel[:3, 3], exposure0)
+    adam0 = optim.adam_init(pose0) if warm is None else warm[0]
+    plateau0 = optim.plateau_init() if warm is None else warm[1]
     init = _TrackCarry(
         it=jnp.zeros((), jnp.int32),
         pose=pose0,
-        adam=optim.adam_init(pose0),
-        plateau=optim.plateau_init(),
+        adam=adam0,
+        plateau=plateau0,
         prev_loss=jnp.array(jnp.inf),
         break_cnt=jnp.zeros((), jnp.int32),
         done=jnp.array(False),
@@ -344,7 +361,8 @@ def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig):
         final.best_loss, final.best_cl, final.best_dl,
         final.it.astype(jnp.float32), final.best_it.astype(jnp.float32),
     ])
-    return rel, final.best_pose.exposure, stats_vec, per_iter
+    return (rel, final.best_pose.exposure, stats_vec, per_iter,
+            (final.adam, final.plateau))
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "rcfg", "tcfg"))
@@ -360,8 +378,8 @@ def refine_pose(
     colors = sh_to_rgb(params.f_dc)
     loss_fn = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
                             gt_color, gt_depth, cam, rcfg, tcfg)
-    rel, exposure, stats_vec, _ = _refine(loss_fn, init_rel, num_iters,
-                                          exposure0, tcfg)
+    rel, exposure, stats_vec, _, _ = _refine(loss_fn, init_rel, num_iters,
+                                             exposure0, tcfg)
     return rel, exposure, stats_vec
 
 
@@ -384,9 +402,8 @@ def _select_tiles(gt_color, gt_depth, alpha, cam: Camera, ts: int,
     valid = (gt_depth > 0).astype(jnp.float32)
 
     def tile_sum(x):
-        hp, wp = tiles_y * ts, tiles_x * ts
-        xp = jnp.pad(x, ((0, hp - x.shape[0]), (0, wp - x.shape[1])))
-        return xp.reshape(tiles_y, ts, tiles_x, ts).sum((1, 3)).reshape(-1)
+        from ..ops.rasterizer import tile_sums
+        return tile_sums(x, ts, tiles_x, tiles_y)
 
     score = tile_sum(energy * valid) + 1e-4 * tile_sum(valid)
     _, tile_ids = jax.lax.top_k(score, s)
@@ -466,8 +483,39 @@ def track_frame(
     loss_fn = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
                             gt_color, gt_depth, cam, rcfg, tcfg,
                             subset=subset)
-    rel, exposure, stats_vec, per_iter = _refine(loss_fn, init_rel,
-                                                 num_iters, exposure0, tcfg)
+    polish = int(tcfg.polish_iters)
+    if subset is not None and polish > 0 and not tcfg.debug_per_iter:
+        # Two-phase refinement: bulk convergence on the tile subset, then a
+        # full-image polish from the subset phase's best pose. The polish
+        # loss/stats feed the host's doubling medians, so the loss history
+        # stays full-image like the reference's (tracker.py:230-242).
+        n1 = jnp.maximum(num_iters - polish, 0)
+        rel1, exp1, stats1, per_iter, opt_state = _refine(
+            loss_fn, init_rel, n1, exposure0, tcfg)
+        s2 = int(round(tcfg.polish_frac * num_tiles))
+        subset2 = None
+        if 0 < s2 < num_tiles:
+            tile_ids2 = _select_tiles(gt_color, gt_depth, alphas[best], cam,
+                                      ts, tiles_x, tiles_y, s2)
+            subset2 = (tile_ids2,
+                       gt_tiles(gt_color, tile_ids2, ts, tiles_x, tiles_y),
+                       gt_tiles(gt_depth, tile_ids2, ts, tiles_x, tiles_y),
+                       _in_image_mask(tile_ids2, ts, tiles_x, cam))
+        loss_wide = _make_loss_fn(params, alive, colors, init_rel, last_w2c,
+                                  gt_color, gt_depth, cam, rcfg, tcfg,
+                                  subset=subset2)
+        n2 = jnp.minimum(jnp.asarray(polish, jnp.int32), num_iters)
+        rel, exposure, stats_vec, _, _ = _refine(loss_wide, rel1, n2, exp1,
+                                                 tcfg, warm=opt_state)
+        # Combined counters: iters/best_iter offset by the subset phase.
+        stats_vec = jnp.stack([
+            stats_vec[0], stats_vec[1], stats_vec[2],
+            stats1[3] + stats_vec[3], stats1[3] + stats_vec[4],
+        ])
+    else:
+        rel, exposure, stats_vec, per_iter, _ = _refine(loss_fn, init_rel,
+                                                        num_iters, exposure0,
+                                                        tcfg)
     stats_vec = jnp.concatenate([
         stats_vec,
         jnp.stack([best.astype(jnp.float32), init_cl, init_dl]),

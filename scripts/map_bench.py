@@ -91,6 +91,125 @@ def load_npz_scene(path, n):
                  take(d["g_f_dc"])), jnp.asarray(w2c), min(m, n), pad
 
 
+def _decompose(state, kfs, cam, rcfg, mcfg, kf_w2c, floor):
+    """Cumulative slices of one resident mapping iteration, each amortized
+    over 20 reps chained in one jit (see PERF.md tunnel-floor rule)."""
+    from eags_slam_tpu.core.sh import sh_to_rgb
+    from eags_slam_tpu.ops.losses import isotropic_loss, masked_l1, ssim
+    from eags_slam_tpu.ops.rasterizer import (render_sorted_resident,
+                                              sorted_layout)
+    from eags_slam_tpu.slam import mapper as M
+    from eags_slam_tpu.utils import optim
+
+    params, alive = state.params, state.alive
+    w2c = jnp.asarray(kf_w2c, jnp.float32)
+    order, seg_start, seg_cnt = jax.jit(
+        lambda: sorted_layout(params.xyz, params.quats, params.log_scales,
+                              params.opacity_logits, w2c, cam, rcfg,
+                              alive=alive)
+    )()
+    jax.block_until_ready(order)
+    perm = M._permute_rows((params, alive), order)
+    params, alive = perm
+    opt0 = M._split(params)
+    f_dc = params.f_dc
+    colors = sh_to_rgb(f_dc)
+    gt_c, gt_d = kfs.color[0], kfs.depth[0]
+    tiles_x = -(-cam.width // rcfg.tile)
+    tiles_y = -(-cam.height // rcfg.tile)
+
+    def render_out(opt):
+        return render_sorted_resident(
+            opt.xyz, opt.quats, opt.log_scales, opt.opacity_logits, colors,
+            w2c, seg_start, seg_cnt, cam, rcfg, alive=alive)
+
+    def loss_plain(opt):
+        out = render_out(opt)
+        return (jnp.sum(out.color)
+                + jnp.sum(jnp.where(jnp.isnan(out.depth), 0.0, out.depth)),
+                jnp.zeros((tiles_x * tiles_y,)))
+
+    def loss_full(opt, with_res):
+        out = render_out(opt)
+        image = jnp.clip(out.color * jnp.exp(0.01) + 0.001, 0.0, 1.0)
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth)
+        cl1 = masked_l1(image, gt_c, mask.astype(image.dtype))
+        cl = (1 - mcfg.lambda_dssim) * cl1 + mcfg.lambda_dssim * (
+            1.0 - ssim(image, gt_c))
+        dl = masked_l1(out.depth, gt_d, mask.astype(image.dtype))
+        reg = isotropic_loss(opt.log_scales, alive)
+        total = cl + dl + reg
+        if with_res:
+            from eags_slam_tpu.ops.rasterizer import tile_sums
+            err = (jnp.abs(image - gt_c).mean(-1)
+                   + jnp.abs(jnp.nan_to_num(out.depth) - gt_d)
+                   ) * mask.astype(image.dtype)
+            res = tile_sums(err, rcfg.tile, tiles_x, tiles_y)
+        else:
+            res = jnp.zeros((tiles_x * tiles_y,))
+        return total, jax.lax.stop_gradient(res)
+
+    lr_tree = M.OptimizedParams(xyz=1e-4, log_scales=1e-3, quats=1e-3,
+                                opacity_logits=0.025)
+    gmask = alive.astype(jnp.float32)
+
+    def stage(label, loss_fn, do_adam=False, do_book=False, reps=20):
+        def many(opt_in):
+            adam0 = optim.adam_init(opt_in)
+            book0 = M._BookState(
+                best_loss=jnp.array(jnp.inf), ema=jnp.array(0.0),
+                ckpt_opt=opt_in, ckpt_adam=adam0,
+                has_ckpt=jnp.array(False),
+                early_cnt=jnp.zeros((), jnp.int32),
+                stopped=jnp.array(False))
+
+            def step(carry, it):
+                c, opt, adam, book, al = carry
+                optp = jax.tree.map(
+                    lambda x: x + c * 1e-20 if x.dtype == jnp.float32 else x,
+                    opt)
+                (total, res), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(optp)
+                c = c + total * 1e-20 + res[0] * 1e-20
+                if do_adam:
+                    grads = jax.tree.map(
+                        lambda g: g * gmask.reshape(
+                            (-1,) + (1,) * (g.ndim - 1)), grads)
+                    opt, adam = optim.adam_update(adam, optp, grads, lr_tree)
+                    c = c + opt.xyz[0, 0] * 1e-20
+                if do_book:
+                    book, opt, adam, al = M._book_step(
+                        book, it, total, opt, adam, al,
+                        pruning_thre=mcfg.pruning_thre, ckpt_every=5,
+                        early_thre=5, prune_iters=(7, 13), ema_beta=0.8)
+                    c = c + book.ema * 1e-20
+                return (c, opt, adam, book, al), ()
+
+            (c, *_), _ = jax.lax.scan(
+                step, (jnp.float32(0), opt_in, adam0, book0, alive),
+                jnp.arange(reps))
+            return c
+
+        jf = jax.jit(many)
+        _ = float(jf(opt0))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jf(opt0))
+            ts.append(time.perf_counter() - t0)
+        per = (float(np.median(ts)) - floor) / reps
+        print(f"[{label}] per-iter {per*1e3:7.2f} ms")
+        return per
+
+    stage("D1 render-grad sum-loss      ", loss_plain)
+    stage("D2 render-grad full loss     ", lambda o: loss_full(o, False))
+    stage("D2r  + freeze residual map   ", lambda o: loss_full(o, True))
+    stage("D3   + adam update           ", lambda o: loss_full(o, False),
+          do_adam=True)
+    stage("D4   + book_step             ", lambda o: loss_full(o, False),
+          do_adam=True, do_book=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 40
@@ -147,6 +266,14 @@ def main():
 
     base = M.MapperConfig(max_keyframes=8)
     mode = os.environ.get("EAGS_MAPBENCH_MODE", "all")
+    if mode == "decompose":
+        # Split the resident mapping iteration into cumulative slices to
+        # locate the gap between the isolated kernel fwd+bwd (~25 ms at
+        # 262k, PERF.md) and the in-loop per-iter cost (~35 ms): D1
+        # render-grad only, D2 + the real loss stack, D2r + the freeze-
+        # ranking residual map, D3 + Adam, D4 + book_step.
+        _decompose(state, kfs, cam, rcfg, base, kf_w2c, floor)
+        return
     if mode in ("all", "sweep"):
         opt_time(base._replace(kf_block=0), "regular  kf_block=0 ")
         opt_time(base._replace(kf_block=5), "resident kf_block=5 ")

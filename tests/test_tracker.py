@@ -105,6 +105,23 @@ def test_track_frame_tile_subset_reduces_pose_error(rng):
     t_err = np.linalg.norm(rel[:3, 3])
     assert t_err < 0.6 * np.linalg.norm(near[:3, 3]), t_err
 
+    # Two-phase polish (TrackerConfig.polish_iters): the last iterations run
+    # full-image from the subset phase's best pose; the pose must end at
+    # least as close to truth, and the iteration counter must cover both
+    # phases.
+    tcfg_p = tcfg._replace(polish_iters=8, polish_frac=0.9)
+    rel_p, _, stats_p, _ = track_frame(
+        params, alive, jnp.asarray(np.stack([far, near])),
+        jnp.asarray(w2c_true), gt_color, gt_depth,
+        jnp.float32(np.inf), jnp.float32(np.inf), jnp.zeros(2),
+        cam, rcfg, tcfg_p,
+    )
+    rel_p = np.asarray(rel_p)
+    stats_p = dict(zip(TRACK_STAT_NAMES, np.asarray(stats_p)))
+    t_err_p = np.linalg.norm(rel_p[:3, 3])
+    assert t_err_p < 0.6 * np.linalg.norm(near[:3, 3]), t_err_p
+    assert int(stats_p["iters"]) == 25  # 17 subset + 8 polish
+
 
 def test_eval_init_candidates_prefers_truth(rng):
     params, alive = _scene(rng)
