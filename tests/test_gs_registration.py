@@ -96,6 +96,42 @@ def test_gs_registration_recovers_offset(rng):
     assert r_err < 1.5, r_err
 
 
+def test_gs_registration_sorted_subset_localize(rng):
+    """Sorted-backend registration with tile-subset localization segments
+    (lc/solver._localize_batch subset_frac): the first restarts refine on
+    the top-information tiles, the final segment full-image — the recovered
+    correction must still match the injected drift."""
+    rcfg = RasterConfig(tile=16, dup_side=4, chunk=16, backend="sorted",
+                        seg_cap=256, bands=3, group=3)
+    src = _scene(rng)
+    err = np.asarray(
+        se3_exp(jnp.asarray([0.03, -0.02, 0.015, 0.008, -0.01, 0.008])),
+        np.float64,
+    )
+    tgt = dict(src)
+    tgt["xyz"] = (
+        src["xyz"] @ np.linalg.inv(err)[:3, :3].T.astype(np.float32)
+        + np.linalg.inv(err)[:3, 3].astype(np.float32)
+    )
+    c2w_a = np.eye(4)
+    views_src, desc_src = _views(src, [c2w_a])
+    views_tgt, desc_tgt = _views(tgt, [np.linalg.inv(err) @ c2w_a])
+
+    res = gaussian_registration(
+        src, tgt, views_src, views_tgt, desc_src, desc_tgt, CAM, rcfg,
+        capacity=512, overlap_thre=0.1, top_views=1, pose_opt_iters=200,
+        overlap_dist=0.2, localize_restarts=4, localize_subset_frac=0.5,
+    )
+    assert res.successful
+    diff = res.transformation @ np.linalg.inv(err)
+    t_err = np.linalg.norm(diff[:3, 3])
+    r_err = np.degrees(
+        np.arccos(np.clip((np.trace(diff[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert t_err < 0.03, (t_err, res.transformation)
+    assert r_err < 1.5, r_err
+
+
 def test_gs_registration_overlap_gate(rng):
     src = _scene(rng)
     far = dict(src)
