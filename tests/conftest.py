@@ -6,6 +6,23 @@ chip is reserved for bench runs).
 """
 import os
 
+# XLA:CPU JIT-loads every compiled program as a handful of fresh mmap
+# regions and never unmaps them; a full-suite run (~131 tests, thousands of
+# compiles on the 8-device virtual mesh) crosses the default
+# vm.max_map_count=65530 around test ~120, at which point a failed mmap
+# SEGFAULTS the compiler mid-test (measured: worker at 53k maps at 86% of
+# a 19-module subset; full suite died at the same test twice). Raise the
+# limit for the whole machine when we can (container runs as root);
+# harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _cur = int(f.read())
+    if _cur < 1048576:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1048576")
+except OSError:
+    pass
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
