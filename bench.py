@@ -187,7 +187,12 @@ def main_with_retries():
     import subprocess
     import time as _time
 
-    attempts = 4
+    # Escalating idle backoff: the tunneled worker's outages range from a
+    # few minutes to over an hour (observed 2026-08-17: ~90 min down after
+    # a mid-run crash); short fixed backoffs burn every attempt inside one
+    # outage window.
+    attempts = 6
+    backoffs = (300, 300, 600, 900, 1800)
     for attempt in range(attempts):
         env = dict(os.environ, EAGS_BENCH_INNER="1")
         proc = subprocess.run(
@@ -204,7 +209,7 @@ def main_with_retries():
             f"(rc={proc.returncode}); idling for worker recovery...\n"
         )
         if attempt < attempts - 1:
-            _time.sleep(300)
+            _time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
     raise SystemExit(1)
 
 
