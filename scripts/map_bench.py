@@ -201,7 +201,22 @@ def _decompose(state, kfs, cam, rcfg, mcfg, kf_w2c, floor):
         print(f"[{label}] per-iter {per*1e3:7.2f} ms")
         return per
 
+    def loss_l1_only(opt):
+        out = render_out(opt)
+        image = jnp.clip(out.color * jnp.exp(0.01) + 0.001, 0.0, 1.0)
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth)
+        cl1 = masked_l1(image, gt_c, mask.astype(image.dtype))
+        dl = masked_l1(out.depth, gt_d, mask.astype(image.dtype))
+        return cl1 + dl, jnp.zeros((tiles_x * tiles_y,))
+
+    def loss_ssim_only(opt):
+        out = render_out(opt)
+        image = jnp.clip(out.color, 0.0, 1.0)
+        return 1.0 - ssim(image, gt_c), jnp.zeros((tiles_x * tiles_y,))
+
     stage("D1 render-grad sum-loss      ", loss_plain)
+    stage("D1a  masked l1 only          ", loss_l1_only)
+    stage("D1b  ssim only               ", loss_ssim_only)
     stage("D2 render-grad full loss     ", lambda o: loss_full(o, False))
     stage("D2r  + freeze residual map   ", lambda o: loss_full(o, True))
     stage("D3   + adam update           ", lambda o: loss_full(o, False),
