@@ -11,6 +11,12 @@ files on disk. The TPU-native equivalent is a single `jax.sharding.Mesh`:
     reference's one-keyframe-per-iteration loop (mapper.py:143-170). With
     K devices one optimization step consumes K views, so wall-clock for the
     dominant hot loop divides by the mesh size;
+  - **spatially-parallel mapping** (`sp_map_step`): ONE view's tile grid is
+    sharded over the mesh — every device composites its tile slice against
+    the replicated map, masked-loss sums `psum` over ICI and the exact
+    global gradient is the `pmean` of the per-device contributions. This
+    keeps the reference's one-view-per-step protocol while dividing the
+    per-iteration wall-clock by the mesh size;
   - **mesh-sliced loop closure** (`lc_submesh`): LC registration work is
     dispatched onto a device subset, replacing `lc.device: 1`
     (configs/Replica/replica.yaml:59) — see eags_slam_tpu.lc.
@@ -30,7 +36,7 @@ from jax.experimental.shard_map import shard_map
 from ..core.camera import Camera
 from ..core.sh import sh_to_rgb
 from ..ops.losses import isotropic_loss, masked_l1, ssim
-from ..ops.rasterizer import RasterConfig, render
+from ..ops.rasterizer import (RasterConfig, gt_tiles, render, render_tiles)
 from ..slam.mapper import MapperConfig, OptimizedParams, _merge, _split
 from ..utils import optim
 
@@ -103,6 +109,132 @@ def dp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig, mcfg: MapperConfig)
         return optim.adam_init(_split(state.params))
 
     return train_step, init_adam
+
+
+def sp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
+                mcfg: MapperConfig):
+    """Spatially-parallel (sp) mapping train step: ONE view's tile grid is
+    sharded over the mesh.
+
+    Complements `dp_map_step`: dp scales across KEYFRAMES (more views per
+    optimization step), sp scales WITHIN a single view — the reference
+    protocol's one-keyframe-per-iteration hot loop (mapper.py:143-170)
+    runs at ~1/D wall-clock per step on a v5e-8. Every device composites
+    its slice of the tile grid against the replicated gaussian state
+    (`render_tiles`), the masked-loss numerators/denominators `psum` over
+    ICI so each device sees the exact GLOBAL loss, and the backward pass
+    produces each device's local-tile gradient contribution; their `psum`
+    is the exact full-image gradient (the tile slices partition the image).
+
+    Loss semantics match the tile-subset mapping loss: masked L1
+    color+depth plus per-tile windowed SSIM (window support clipped at
+    tile borders — the same documented deviation from the reference's
+    full-image window as `MapperConfig.tile_subset`/freeze paths).
+
+    Returns (train_step, init_adam, aux) where train_step(state, adam,
+    color, depth, w2c) -> (state', adam', loss) takes ONE replicated view.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    ts = rcfg.tile
+    tiles_x = -(-cam.width // ts)
+    tiles_y = -(-cam.height // ts)
+    n_tiles = tiles_x * tiles_y
+    s_pad = -(-n_tiles // n_dev) * n_dev
+    tile_ids_all = jnp.concatenate([
+        jnp.arange(n_tiles, dtype=jnp.int32),
+        jnp.zeros((s_pad - n_tiles,), jnp.int32),   # weight-0 pad tiles
+    ])
+    tmask_all = (jnp.arange(s_pad) < n_tiles).astype(jnp.float32)
+
+    lr_tree = OptimizedParams(
+        xyz=mcfg.lr_xyz, log_scales=mcfg.lr_scaling,
+        quats=mcfg.lr_rotation, opacity_logits=mcfg.lr_opacity,
+    )
+
+    def _in_image(tile_ids):
+        tx0 = (tile_ids % tiles_x) * ts
+        ty0 = (tile_ids // tiles_x) * ts
+        uu = tx0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[None, None]
+        vv = ty0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[..., None]
+        return (uu < cam.width) & (vv < cam.height)
+
+    def local_loss(opt, frozen, alive, color, depth, w2c, tile_ids, tmask):
+        params = _merge(frozen, opt)
+        out = render_tiles(params.xyz, params.quats, params.log_scales,
+                           params.opacity_logits, sh_to_rgb(params.f_dc),
+                           w2c, tile_ids, cam, rcfg, alive=alive)
+        gt_c = gt_tiles(color, tile_ids, ts, tiles_x, tiles_y)
+        gt_d = gt_tiles(depth, tile_ids, ts, tiles_x, tiles_y)
+        valid = _in_image(tile_ids) & (tmask[:, None, None] > 0)
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth) & valid
+        m = mask.astype(jnp.float32)
+
+        dc = jnp.abs(out.color - gt_c) * m[..., None]
+        cnum = jax.lax.psum(jnp.sum(dc), axis)
+        cden = jax.lax.psum(jnp.sum(m), axis) * 3.0
+        color_l1 = cnum / jnp.maximum(cden, 1.0)
+
+        dd = jnp.abs(out.depth - gt_d) * m
+        dnum = jax.lax.psum(jnp.sum(dd), axis)
+        depth_l1 = dnum / jnp.maximum(jax.lax.psum(jnp.sum(m), axis), 1.0)
+
+        ssim_t = jax.vmap(ssim)(jnp.clip(out.color, 0.0, 1.0), gt_c)
+        snum = jax.lax.psum(jnp.sum(ssim_t * tmask), axis)
+        sden = jax.lax.psum(jnp.sum(tmask), axis)
+        ssim_mean = snum / jnp.maximum(sden, 1.0)
+
+        closs = (1.0 - mcfg.lambda_dssim) * color_l1 + mcfg.lambda_dssim * (
+            1.0 - ssim_mean
+        )
+        # Replicated reg scaled 1/D: its psum'd gradient is exact.
+        reg = jax.lax.psum(
+            isotropic_loss(params.log_scales, alive) / n_dev, axis
+        )
+        return closs + depth_l1 + reg
+
+    def sharded_step(opt, adam, alive, frozen, color, depth, w2c,
+                     tile_ids, tmask):
+        loss, grads = jax.value_and_grad(local_loss)(
+            opt, frozen, alive, color, depth, w2c, tile_ids, tmask
+        )
+        # shard_map's psum TRANSPOSE is psum (cotangent 1 -> D per device),
+        # so each device's grad is D x its partition share — pmean, not
+        # psum, reconstructs the exact global gradient (verified against a
+        # single-device evaluation in tests/test_parallel.py; a psum here
+        # scales every grad by D, which Adam's step-1 scale invariance
+        # masks everywhere except the eps-transition zone).
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+        gmask = alive.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+        )
+        new_opt, new_adam = optim.adam_update(adam, opt, grads, lr_tree)
+        return new_opt, new_adam, loss, grads
+
+    step = shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def train_step(state, adam, color, depth, w2c):
+        opt = _split(state.params)
+        new_opt, new_adam, loss, grads = step(
+            opt, adam, state.alive, state.params, color, depth, w2c,
+            tile_ids_all, tmask_all,
+        )
+        return (state._replace(params=_merge(state.params, new_opt)),
+                new_adam, loss, grads)
+
+    def init_adam(state):
+        return optim.adam_init(_split(state.params))
+
+    return train_step, init_adam, dict(tile_ids=tile_ids_all,
+                                       tmask=tmask_all)
 
 
 def lc_submesh(mesh: Mesh, n_lc_devices: int = 2) -> Mesh:
