@@ -48,6 +48,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+def make_mesh2d(n_data: int, n_space: int,
+                axes=("data", "space")) -> Mesh:
+    """2D (data x space) mesh for `dpsp_map_step`."""
+    import numpy as np
+
+    devs = np.array(jax.devices()[: n_data * n_space]).reshape(
+        n_data, n_space)
+    return Mesh(devs, axes)
+
+
 def dp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig, mcfg: MapperConfig):
     """Build a jitted data-parallel mapping train step over `mesh`.
 
@@ -225,6 +235,122 @@ def sp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
         opt = _split(state.params)
         new_opt, new_adam, loss, grads = step(
             opt, adam, state.alive, state.params, color, depth, w2c,
+            tile_ids_all, tmask_all,
+        )
+        return (state._replace(params=_merge(state.params, new_opt)),
+                new_adam, loss, grads)
+
+    def init_adam(state):
+        return optim.adam_init(_split(state.params))
+
+    return train_step, init_adam, dict(tile_ids=tile_ids_all,
+                                       tmask=tmask_all)
+
+
+def dpsp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
+                  mcfg: MapperConfig):
+    """Composed data x spatial parallelism over a 2D mesh (axes
+    ("data", "space")): device (d, s) composites KEYFRAME d's TILE SLICE s
+    against the replicated gaussian state. Per-view masked-loss sums `psum`
+    over the `space` axis (each view's loss is its exact full-image loss),
+    the total is their `pmean` over `data` (the dp multi-view average), and
+    the exact global gradient is the `pmean` of per-device contributions
+    over BOTH axes (same psum-transpose algebra as `sp_map_step`).
+
+    On a v5e-8 a (2, 4) or (4, 2) mesh trades view-throughput against
+    per-view latency without changing the optimization semantics of either
+    axis. Returns (train_step, init_adam, aux); train_step(state, adam,
+    colors, depths, w2cs) takes keyframe arrays with a leading axis of
+    size mesh.shape["data"].
+    """
+    ax_d, ax_s = mesh.axis_names
+    n_space = int(mesh.shape[ax_s])
+    ts = rcfg.tile
+    tiles_x = -(-cam.width // ts)
+    tiles_y = -(-cam.height // ts)
+    n_tiles = tiles_x * tiles_y
+    s_pad = -(-n_tiles // n_space) * n_space
+    tile_ids_all = jnp.concatenate([
+        jnp.arange(n_tiles, dtype=jnp.int32),
+        jnp.zeros((s_pad - n_tiles,), jnp.int32),
+    ])
+    tmask_all = (jnp.arange(s_pad) < n_tiles).astype(jnp.float32)
+
+    lr_tree = OptimizedParams(
+        xyz=mcfg.lr_xyz, log_scales=mcfg.lr_scaling,
+        quats=mcfg.lr_rotation, opacity_logits=mcfg.lr_opacity,
+    )
+
+    def _in_image(tile_ids):
+        tx0 = (tile_ids % tiles_x) * ts
+        ty0 = (tile_ids // tiles_x) * ts
+        uu = tx0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[None, None]
+        vv = ty0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[..., None]
+        return (uu < cam.width) & (vv < cam.height)
+
+    def local_loss(opt, frozen, alive, color, depth, w2c, tile_ids, tmask):
+        params = _merge(frozen, opt)
+        out = render_tiles(params.xyz, params.quats, params.log_scales,
+                           params.opacity_logits, sh_to_rgb(params.f_dc),
+                           w2c[0], tile_ids, cam, rcfg, alive=alive)
+        gt_c = gt_tiles(color[0], tile_ids, ts, tiles_x, tiles_y)
+        gt_d = gt_tiles(depth[0], tile_ids, ts, tiles_x, tiles_y)
+        valid = _in_image(tile_ids) & (tmask[:, None, None] > 0)
+        mask = (gt_d > 0) & ~jnp.isnan(out.depth) & valid
+        m = mask.astype(jnp.float32)
+
+        dc = jnp.abs(out.color - gt_c) * m[..., None]
+        cnum = jax.lax.psum(jnp.sum(dc), ax_s)
+        cden = jax.lax.psum(jnp.sum(m), ax_s) * 3.0
+        color_l1 = cnum / jnp.maximum(cden, 1.0)
+
+        dd = jnp.abs(out.depth - gt_d) * m
+        dnum = jax.lax.psum(jnp.sum(dd), ax_s)
+        depth_l1 = dnum / jnp.maximum(jax.lax.psum(jnp.sum(m), ax_s), 1.0)
+
+        ssim_t = jax.vmap(ssim)(jnp.clip(out.color, 0.0, 1.0), gt_c)
+        snum = jax.lax.psum(jnp.sum(ssim_t * tmask), ax_s)
+        sden = jax.lax.psum(jnp.sum(tmask), ax_s)
+        ssim_mean = snum / jnp.maximum(sden, 1.0)
+
+        view_loss = ((1.0 - mcfg.lambda_dssim) * color_l1
+                     + mcfg.lambda_dssim * (1.0 - ssim_mean) + depth_l1)
+        total = jax.lax.pmean(view_loss, ax_d)
+        n_all = int(mesh.devices.size)
+        reg = jax.lax.psum(
+            isotropic_loss(params.log_scales, alive) / n_all, (ax_d, ax_s)
+        )
+        return total + reg
+
+    def sharded_step(opt, adam, alive, frozen, colors, depths, w2cs,
+                     tile_ids, tmask):
+        loss, grads = jax.value_and_grad(local_loss)(
+            opt, frozen, alive, colors, depths, w2cs, tile_ids, tmask
+        )
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, (ax_d, ax_s)), grads
+        )
+        gmask = alive.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+        )
+        new_opt, new_adam = optim.adam_update(adam, opt, grads, lr_tree)
+        return new_opt, new_adam, loss, grads
+
+    step = shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(ax_d), P(ax_d), P(ax_d),
+                  P(ax_s), P(ax_s)),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def train_step(state, adam, colors, depths, w2cs):
+        opt = _split(state.params)
+        new_opt, new_adam, loss, grads = step(
+            opt, adam, state.alive, state.params, colors, depths, w2cs,
             tile_ids_all, tmask_all,
         )
         return (state._replace(params=_merge(state.params, new_opt)),

@@ -132,6 +132,101 @@ def test_sp_map_step_matches_single_device():
             assert strong.mean() > 0.02, strong.mean()
 
 
+def test_dpsp_map_step_matches_single_device():
+    """Composed 2x4 (data x space) mesh: two keyframes, each view's tile
+    grid split over 4 devices. Gradients must equal the single-device
+    two-view-average of the same per-tile loss."""
+    import jax.numpy as jnp
+
+    from eags_slam_tpu.core import gaussians as G
+    from eags_slam_tpu.core.camera import Camera
+    from eags_slam_tpu.core.se3 import se3_exp
+    from eags_slam_tpu.core.sh import sh_to_rgb
+    from eags_slam_tpu.ops.losses import isotropic_loss, ssim
+    from eags_slam_tpu.ops.rasterizer import (RasterConfig, gt_tiles,
+                                              render_tiles)
+    from eags_slam_tpu.parallel.mesh import dpsp_map_step, make_mesh2d
+    from eags_slam_tpu.slam.mapper import (MapperConfig, OptimizedParams,
+                                           _merge, _split)
+
+    h = w = 64
+    cam = Camera(fx=70.0, fy=70.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
+                 width=w, height=h)
+    rcfg = RasterConfig(tile=16, dup_side=4, chunk=16, backend="sorted",
+                        seg_cap=128, bands=3, group=2)
+    mcfg = MapperConfig(max_keyframes=4)
+    rng = np.random.default_rng(5)
+
+    cap = 256
+    state = G.empty_state(cap)
+    n = 150
+    xyz = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+         rng.uniform(1.2, 3.0, n)], -1).astype(np.float32)
+    rows = G.point_rows(
+        jnp.asarray(xyz),
+        jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)),
+        jnp.full((n,), 0.05), jnp.full((n,), 0.8),
+    )
+    state, _ = G.insert(state, rows, jnp.ones(n, bool))
+
+    colors = jnp.asarray(rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1.0, 3.0, (2, h, w)).astype(np.float32))
+    w2cs = jnp.stack([
+        jnp.eye(4),
+        jnp.asarray(np.asarray(
+            se3_exp(jnp.asarray([0.03, 0.0, -0.02, 0.01, 0.0, 0.0])),
+            np.float32)),
+    ])
+
+    mesh = make_mesh2d(2, 4)
+    step, init_adam, aux = dpsp_map_step(mesh, cam, rcfg, mcfg)
+    _, _, loss_sp, grads_sp = step(state, init_adam(state), colors, depths,
+                                   w2cs)
+    assert np.isfinite(float(loss_sp))
+
+    ts = rcfg.tile
+    tiles_x = tiles_y = -(-w // ts)
+    tile_ids, tmask = aux["tile_ids"], aux["tmask"]
+
+    def ref_loss(opt):
+        params = _merge(state.params, opt)
+
+        def one_view(color, depth, w2c):
+            out = render_tiles(params.xyz, params.quats, params.log_scales,
+                               params.opacity_logits, sh_to_rgb(params.f_dc),
+                               w2c, tile_ids, cam, rcfg, alive=state.alive)
+            gt_c = gt_tiles(color, tile_ids, ts, tiles_x, tiles_y)
+            gt_d = gt_tiles(depth, tile_ids, ts, tiles_x, tiles_y)
+            mask = ((gt_d > 0) & ~jnp.isnan(out.depth)
+                    & (tmask[:, None, None] > 0))
+            m = mask.astype(jnp.float32)
+            color_l1 = jnp.sum(jnp.abs(out.color - gt_c) * m[..., None]) / (
+                jnp.maximum(jnp.sum(m) * 3.0, 1.0))
+            depth_l1 = jnp.sum(jnp.abs(out.depth - gt_d) * m) / jnp.maximum(
+                jnp.sum(m), 1.0)
+            ssim_t = jax.vmap(ssim)(jnp.clip(out.color, 0.0, 1.0), gt_c)
+            ssim_mean = jnp.sum(ssim_t * tmask) / jnp.sum(tmask)
+            return ((1 - mcfg.lambda_dssim) * color_l1
+                    + mcfg.lambda_dssim * (1 - ssim_mean) + depth_l1)
+
+        vl = (one_view(colors[0], depths[0], w2cs[0])
+              + one_view(colors[1], depths[1], w2cs[1])) / 2.0
+        return vl + isotropic_loss(params.log_scales, state.alive)
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(_split(state.params))
+    gmask = state.alive.astype(jnp.float32)
+    grads_ref = jax.tree.map(
+        lambda g: g * gmask.reshape((-1,) + (1,) * (g.ndim - 1)), grads_ref)
+
+    assert abs(float(loss_sp) - float(loss_ref)) < 1e-4
+    for name in OptimizedParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads_sp, name)),
+            np.asarray(getattr(grads_ref, name)),
+            rtol=2e-3, atol=1e-6, err_msg=name)
+
+
 def test_lc_submesh():
     from eags_slam_tpu.parallel.mesh import lc_submesh, make_mesh
 
