@@ -42,6 +42,69 @@ def _imread(path) -> np.ndarray:
     return np.asarray(Image.open(str(path)))
 
 
+def distort_points(xy: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """Apply the 5-coefficient OpenCV distortion model (k1,k2,p1,p2,k3) to
+    NORMALIZED image coordinates xy (..., 2) -> distorted normalized coords.
+
+    This is the forward model used by `cv2.undistort` (reference applies it
+    at preload: src/entities/datasets.py:229-230, 292-293)."""
+    k1, k2, p1, p2, k3 = [float(v) for v in dist[:5]]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.stack([xd, yd], axis=-1)
+
+
+def undistort_maps(camera: "Camera", dist: np.ndarray):
+    """Precompute the source-pixel sampling grid for undistortion.
+
+    For each OUTPUT (rectified) pixel, push its normalized coordinate through
+    the forward distortion model to find where in the DISTORTED source image
+    to sample — exactly `cv2.initUndistortRectifyMap(K, dist, I, K, ...)`
+    (the new camera matrix equals K, as in `cv2.undistort`'s default and the
+    reference's call; the VO path's getOptimalNewCameraMatrix variant in
+    VO/datastructures/camerapyr.h:143-162 is unnecessary here because the
+    SLAM side feeds the VO already-undistorted frames, EXTERNAL_INPUT mode).
+
+    Returns (map_u, map_v) float32 (H, W): source pixel coords.
+    """
+    H, W = camera.height, camera.width
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    xy = np.stack([(u - camera.cx) / camera.fx, (v - camera.cy) / camera.fy],
+                  axis=-1)
+    xyd = distort_points(xy, np.asarray(dist, np.float64))
+    map_u = (camera.fx * xyd[..., 0] + camera.cx).astype(np.float32)
+    map_v = (camera.fy * xyd[..., 1] + camera.cy).astype(np.float32)
+    return map_u, map_v
+
+
+def remap_bilinear(img: np.ndarray, map_u: np.ndarray, map_v: np.ndarray) -> np.ndarray:
+    """Bilinear resample `img` (H, W[, C]) at source coords (map_u, map_v);
+    out-of-bounds samples clamp to the border (cv2.remap BORDER_CONSTANT vs
+    clamp only differs in the outermost invalid ring, which crop_edge removes
+    — every TUM/ScanNet config crops >= 8 px)."""
+    H, W = img.shape[:2]
+    u0 = np.floor(map_u).astype(np.int32)
+    v0 = np.floor(map_v).astype(np.int32)
+    fu = (map_u - u0)[..., None] if img.ndim == 3 else (map_u - u0)
+    fv = (map_v - v0)[..., None] if img.ndim == 3 else (map_v - v0)
+    u0c = np.clip(u0, 0, W - 1)
+    u1c = np.clip(u0 + 1, 0, W - 1)
+    v0c = np.clip(v0, 0, H - 1)
+    v1c = np.clip(v0 + 1, 0, H - 1)
+    a = img[v0c, u0c].astype(np.float32)
+    b = img[v0c, u1c].astype(np.float32)
+    c = img[v1c, u0c].astype(np.float32)
+    d = img[v1c, u1c].astype(np.float32)
+    out = (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(out + 0.5, 0, 255).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
 class BaseDataset:
     """Frame source with an optional background preloader thread.
 
@@ -60,6 +123,17 @@ class BaseDataset:
             self.full_camera.crop(self.crop_edge) if self.crop_edge else self.full_camera
         )
         self.depth_scale = float(cam.get("depth_scale", 1.0))
+        # Lens undistortion (reference datasets.py:229-230/:292-293 +
+        # configs/TUM_RGBD/*.yaml `distortion:`): color is undistorted at
+        # decode time with the 5-coeff OpenCV model; depth is left untouched
+        # (TUM registered depth is produced rectified), matching the
+        # reference exactly. Maps are built lazily on first use.
+        dist = cam.get("distortion")
+        self.distortion = (
+            np.asarray(dist, np.float64)
+            if dist is not None and np.any(np.asarray(dist)) else None
+        )
+        self._undist_maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.frame_limit = int(config.get("frame_limit", -1))
         self.color_paths: list = []
         self.depth_paths: list = []
@@ -80,7 +154,17 @@ class BaseDataset:
         """Return (rgb uint8 (H, W, 3), depth f32 meters), full resolution."""
         rgb = _imread(self.color_paths[idx])[..., :3]
         depth = _imread(self.depth_paths[idx]).astype(np.float32) / self.depth_scale
-        return rgb, depth
+        return self._undistort_color(rgb), depth
+
+    def _undistort_color(self, rgb: np.ndarray) -> np.ndarray:
+        """Undistort a full-resolution color frame (no-op without
+        `cam.distortion`). Runs in the preloader thread so the cost is off
+        the SLAM loop's critical path."""
+        if self.distortion is None:
+            return rgb
+        if self._undist_maps is None:
+            self._undist_maps = undistort_maps(self.full_camera, self.distortion)
+        return remap_bilinear(rgb, *self._undist_maps)
 
     # -- public API ----------------------------------------------------------
     def __len__(self) -> int:
@@ -138,7 +222,9 @@ class BaseDataset:
 
     def _get_frame(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         if self._native is not None:
-            return self._native.get(idx)
+            rgb, depth = self._native.get(idx)
+            # The native pool decodes raw files; undistort on the way out.
+            return self._undistort_color(rgb), depth
         if self._thread is None:
             return self._load_raw(idx)
         with self._cv:
@@ -301,7 +387,7 @@ class ScanNet(BaseDataset):
     def _load_raw(self, idx):
         rgb = _imread(self.color_paths[idx])[..., :3]
         depth = _imread(self.depth_paths[idx]).astype(np.float32)
-        return rgb, depth
+        return self._undistort_color(rgb), depth
 
 
 class ScanNetPP(BaseDataset):
