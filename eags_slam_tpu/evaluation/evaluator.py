@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.camera import Camera
-from ..ops.losses import psnr, ssim
+from ..ops.losses import ms_ssim, psnr, ssim
 from ..ops.rasterizer import RasterConfig, render
 from ..core.sh import sh_to_rgb
 from .trajectory import evaluate_trajectory
@@ -61,7 +61,7 @@ class Evaluator:
         (reference :116-186). LPIPS is weights-gated (evaluation/lpips.py)."""
         from .lpips import lpips
 
-        psnrs, ssims, depth_l1s, lpipss = [], [], [], []
+        psnrs, ssims, ms_ssims, depth_l1s, lpipss = [], [], [], [], []
         save_render = bool(self.config.get("evaluation", {}).get(
             "save_render", False))
         render_dir = os.path.join(self.output_path, "eval_render")
@@ -109,6 +109,11 @@ class Evaluator:
                 gt_c = jnp.asarray(gt_color)
                 psnrs.append(float(psnr(img, gt_c)))
                 ssims.append(float(ssim(img, gt_c)))
+                # MS-SSIM needs min(H, W) > (win-1)*2**4 = 160 (5 scales),
+                # same constraint pytorch_msssim enforces; skip on tiny
+                # test frames.
+                if min(img.shape[0], img.shape[1]) > 160:
+                    ms_ssims.append(float(ms_ssim(img, gt_c)))
                 lp = lpips(img, gt_c)
                 if lp is not None:
                     lpipss.append(lp)
@@ -124,6 +129,7 @@ class Evaluator:
         out = {
             "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "mean_ms_ssim": float(np.mean(ms_ssims)) if ms_ssims else None,
             "mean_depth_l1": float(np.mean(depth_l1s)) if depth_l1s else 0.0,
             "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
             "num_views": len(psnrs),
@@ -258,7 +264,7 @@ class Evaluator:
             iterations=iters,
         )
 
-        psnrs, ssims = [], []
+        psnrs, ssims, ms_ssims = [], [], []
         for fid in sorted(set(kf_ids)):
             _, color, depth, _ = self.dataset[fid]
             c2w = self.estimated_c2ws[fid]
@@ -269,11 +275,15 @@ class Evaluator:
                          jnp.asarray(np.linalg.inv(c2w), dtype=jnp.float32),
                          self.cam, self.rcfg, alive=jnp.asarray(alive))
             img = jnp.clip(out.color, 0, 1)
-            psnrs.append(float(psnr(img, jnp.asarray(color))))
-            ssims.append(float(ssim(img, jnp.asarray(color))))
+            gt_c = jnp.asarray(color)
+            psnrs.append(float(psnr(img, gt_c)))
+            ssims.append(float(ssim(img, gt_c)))
+            if min(img.shape[0], img.shape[1]) > 160:
+                ms_ssims.append(float(ms_ssim(img, gt_c)))
         res = {
             "mean_psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "mean_ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "mean_ms_ssim": float(np.mean(ms_ssims)) if ms_ssims else None,
             "num_views": len(psnrs),
             "iterations": iters,
         }

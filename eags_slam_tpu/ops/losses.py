@@ -105,6 +105,86 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     return jnp.mean(jnp.clip(ssim_map, -1.0, 1.0))
 
 
+def _ssim_cs(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int):
+    """Mean SSIM and mean contrast-structure (cs) over the VALID region —
+    no-padding window statistics, the convention of pytorch_msssim (which
+    the reference uses for its MS-SSIM metric,
+    src/evaluation/evaluator.py:147-171). The SAME-padded banded blur equals
+    a valid convolution everywhere `half` pixels away from the border, so
+    valid = blur + crop."""
+    sigma = 1.5
+    half = window_size // 2
+    x = jnp.arange(window_size, dtype=jnp.float32) - half
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / jnp.sum(g)
+
+    if img1.ndim == 2:
+        img1, img2 = img1[..., None], img2[..., None]
+    h, w, c = img1.shape
+    bh = _band_matrix(h, g, half)
+    bw = _band_matrix(w, g, half)
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1
+    )
+    cs5 = 5 * c
+    tmp = (bh @ stack.reshape(h, w * cs5)).reshape(h, w, cs5)
+    t = jnp.transpose(tmp, (0, 2, 1)).reshape(h * cs5, w)
+    blurred = jnp.transpose((t @ bw).reshape(h, cs5, w), (0, 2, 1))
+    blurred = blurred[half:h - half, half:w - half]
+    mu1, mu2, m11, m22, m12 = (
+        blurred[..., :c], blurred[..., c:2 * c], blurred[..., 2 * c:3 * c],
+        blurred[..., 3 * c:4 * c], blurred[..., 4 * c:],
+    )
+    C1, C2 = 0.01**2, 0.03**2
+    sigma1_sq = m11 - mu1 * mu1
+    sigma2_sq = m22 - mu2 * mu2
+    sigma12 = m12 - mu1 * mu2
+    cs_map = (2 * sigma12 + C2) / (sigma1_sq + sigma2_sq + C2)
+    ssim_map = ((2 * mu1 * mu2 + C1) / (mu1 * mu1 + mu2 * mu2 + C1)) * cs_map
+    # Per-channel means (pytorch_msssim averages over channels only after
+    # the cross-scale product).
+    return jnp.mean(ssim_map, axis=(0, 1)), jnp.mean(cs_map, axis=(0, 1))
+
+
+def _avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 average pool with zero padding on odd dims,
+    count_include_pad — F.avg_pool2d(x, 2, padding=dim%2) parity
+    (pytorch_msssim's inter-scale downsample)."""
+    h, w = img.shape[:2]
+    ph, pw = h % 2, w % 2
+    pads = ((ph, ph), (pw, pw)) + ((0, 0),) * (img.ndim - 2)
+    s = jax.lax.reduce_window(
+        img, 0.0, jax.lax.add,
+        (2, 2) + (1,) * (img.ndim - 2), (2, 2) + (1,) * (img.ndim - 2), pads,
+    )
+    return s * 0.25
+
+
+# Standard 5-scale MS-SSIM weights (Wang et al. 2003; pytorch_msssim default).
+MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+            window_size: int = 11) -> jnp.ndarray:
+    """Multi-scale SSIM over an (H, W[, C]) pair in [0, 1].
+
+    Algorithm and constants match pytorch_msssim.ms_ssim (the reference's
+    metric backend, src/evaluation/evaluator.py:147-171): 5 scales, cs at
+    scales 1-4 + full SSIM at scale 5, relu'd means, 2x avg-pool between
+    scales, product of powers with the standard weights. Requires
+    min(H, W) > (window_size - 1) * 16 (same constraint as the library)."""
+    vals = []
+    for lvl in range(5):
+        s, cs = _ssim_cs(img1, img2, window_size)
+        vals.append(s if lvl == 4 else cs)
+        if lvl < 4:
+            img1, img2 = _avg_pool2(img1), _avg_pool2(img2)
+    vals = jax.nn.relu(jnp.stack(vals))  # (5, C); relu per pytorch_msssim
+    w = jnp.asarray(MSSSIM_WEIGHTS)[:, None]
+    return jnp.mean(jnp.prod(vals ** w, axis=0))
+
+
 def isotropic_loss(log_scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     """Penalize anisotropy: mean |s - mean(s)| over alive gaussians.
 

@@ -199,3 +199,31 @@ def test_morton_window_nn_exact_duplicates():
         cand, jnp.ones(4, bool), ex, jnp.ones(1, bool), 1e-7
     )
     assert np.asarray(keep).tolist() == [False, True, False, True]
+
+
+def test_ms_ssim_golden():
+    """MS-SSIM parity with pytorch_msssim (VERDICT r3 missing #2): the
+    golden constant below was produced by an independent float64 torch
+    implementation of the pytorch_msssim algorithm (valid separable conv,
+    per-channel means, relu, 2x avg-pool, standard weights) on this exact
+    deterministic pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    H = W = 176
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    img1 = np.stack(
+        [0.5 + 0.4 * np.sin(2 * np.pi * (u + 13 * k) / 48.0)
+         * np.cos(2 * np.pi * v / 36.0) for k in range(3)], -1)
+    img2 = np.clip(img1 + 0.08 * rng.standard_normal(img1.shape), 0, 1)
+    img1 = np.clip(img1, 0, 1)
+    got = float(losses.ms_ssim(jnp.asarray(img1, jnp.float32),
+                               jnp.asarray(img2, jnp.float32)))
+    assert abs(got - 0.9560635799) < 1e-3, got
+    # Identity and 2D-grayscale paths.
+    assert abs(float(losses.ms_ssim(jnp.asarray(img1, jnp.float32),
+                                    jnp.asarray(img1, jnp.float32))) - 1.0) < 1e-5
+    g1, g2 = img1.mean(-1), img2.mean(-1)
+    val2d = float(losses.ms_ssim(jnp.asarray(g1, jnp.float32),
+                                 jnp.asarray(g2, jnp.float32)))
+    assert 0.8 < val2d <= 1.0
