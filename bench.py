@@ -109,6 +109,10 @@ def make_config(n_frames: int, out: str):
         "registration": "gs_reg", "final": True,
         "capacity": 1 << 18,
     }
+    if os.environ.get("EAGS_BENCH_MESH"):
+        # Route mapping through the multi-chip shard_map path on the single
+        # chip (collectives degenerate; measures the path a v5e-8 runs).
+        config["force_mesh"] = True
     return config
 
 

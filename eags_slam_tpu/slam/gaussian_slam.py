@@ -147,6 +147,14 @@ class GaussianSLAM:
             n_map = n_dev - 1 if n_dev > 2 else n_dev
             self.mesh = make_mesh(n_map)
             self._lc_device = jax.devices()[-1] if n_dev > 2 else None
+        elif bool(config.get("force_mesh", False)):
+            # Single-device mesh on demand (bench flag): the mapping step
+            # runs through the SAME shard_map/psum code path a real v5e-8
+            # would use, with the collectives degenerating to identity —
+            # so the measured path is the multi-chip one.
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_dev)
 
         import concurrent.futures
 
