@@ -50,6 +50,12 @@ def grid_bounds_from_trajectory(c2ws: np.ndarray, depth_max: float,
     lo = centers.min(0) - depth_max
     hi = centers.max(0) + depth_max
     dims = np.minimum(np.ceil((hi - lo) / voxel).astype(int) + 1, max_dim)
+    # When the depth_max box exceeds the capped grid, CENTER the grid on the
+    # trajectory instead of anchoring at the box corner (an lo-anchored
+    # capped grid covers only the corner octant and cuts the scene off).
+    span = dims * voxel
+    mid = 0.5 * (lo + hi)
+    lo = np.where(span < hi - lo, mid - 0.5 * span, lo)
     return lo.astype(np.float32), tuple(int(d) for d in dims)
 
 
