@@ -244,6 +244,8 @@ def main():
         cam, (means, quats, log_scales, opac, f_dc) = make_scene(n, h, w)
     rcfg = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
                         seg_cap=1024, bands=3)
+    from _bench_common import apply_rcfg_env
+    rcfg = apply_rcfg_env(rcfg)
     floor = measure_floor()
     print(f"backend={jax.default_backend()} n={n} {w}x{h} iters={iters} "
           f"floor={floor*1e3:.1f}ms")

@@ -107,6 +107,8 @@ def main():
                         group=8, backend="pallas")
     cfg2 = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
                         seg_cap=1024, bands=3)
+    from _bench_common import apply_rcfg_env
+    cfg2 = apply_rcfg_env(cfg2)
     bench_backend("v1", cfg1)
     bench_backend("v2", cfg2)
 

@@ -161,6 +161,55 @@ def test_sorted_quadform_matches_dense(rng):
         np.testing.assert_allclose(gs, gd, atol=5e-3 * scale, err_msg=name)
 
 
+def test_sorted_big_tiles_match_dense(rng):
+    """tile=32 and tile=64 sorted configs (the seg_cap-scaling candidates
+    for the TPU sweep, PERF.md roadmap: per-tile fixed overhead divides by
+    the tile-count reduction) stay on the dense golden values."""
+    cam = Camera(fx=90.0, fy=90.0, cx=63.5, cy=31.5, width=128, height=64)
+    n = 96
+    means = np.stack(
+        [rng.uniform(-0.8, 0.8, n), rng.uniform(-0.4, 0.4, n),
+         rng.uniform(1.0, 3.0, n)], axis=-1,
+    ).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    args = tuple(
+        jnp.asarray(x)
+        for x in (
+            means, quats,
+            np.log(rng.uniform(0.02, 0.07, (n, 3))).astype(np.float32),
+            rng.uniform(-1.0, 3.0, (n, 1)).astype(np.float32),
+            rng.uniform(0, 1, (n, 3)).astype(np.float32),
+            np.eye(4, dtype=np.float32),
+        )
+    )
+    ref = render_dense(*args, cam, CFG_D._replace(tile_capacity=512))
+    for tile, dup, seg in ((32, 3, 256), (64, 2, 384)):
+        cfg = CFG_S._replace(tile=tile, dup_side=dup, seg_cap=seg, group=1)
+        out = render(*args, cam, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.color), np.asarray(ref.color), atol=2e-4,
+            err_msg=f"tile={tile}")
+        np.testing.assert_allclose(
+            np.asarray(out.alpha), np.asarray(ref.alpha), atol=2e-4,
+            err_msg=f"tile={tile}")
+
+        def loss(means, cfg=cfg):
+            o = render(means, *args[1:], cam, cfg)
+            return jnp.mean(jnp.abs(o.color)) + 0.1 * jnp.mean(o.depth)
+
+        def loss_d(means):
+            o = render_dense(means, *args[1:], cam,
+                             CFG_D._replace(tile_capacity=512))
+            return jnp.mean(jnp.abs(o.color)) + 0.1 * jnp.mean(o.depth)
+
+        gs = np.asarray(jax.grad(loss)(args[0]))
+        gd = np.asarray(jax.grad(loss_d)(args[0]))
+        scale = max(np.abs(gd).max(), 1e-6)
+        np.testing.assert_allclose(gs, gd, atol=5e-3 * scale,
+                                   err_msg=f"tile={tile} grads")
+
+
 def test_bf16_layout_roundtrip(rng):
     """hi/lo bf16 packing reconstructs u/v/depth to ~2^-16 relative and the
     single-bf16 rows to ~2^-8 (to_bf16_layout contract)."""
