@@ -43,6 +43,9 @@ DEFAULTS: Dict[str, Any] = {
         # loss delta is below `thre`.
         "early_stop_thre": 5.0e-5,
         "early_stop_cnt": 5,
+        # ReduceLROnPlateau (reference configs/Replica/replica.yaml:34-35).
+        "scheduler_factor": 0.95,
+        "scheduler_patience": 5,
     },
     "mapping": {
         "new_submap_every": 50,

@@ -58,7 +58,21 @@ class LoopClosure:
         self.min_similarity = float(lc.get("min_similarity", 0.7))
         self.self_sim_topk = int(lc.get("self_sim_topk", 3))
         self.overlap_thre = float(lc.get("overlap_thre", 0.2))
-        self.registration = str(lc.get("registration", "gs_reg"))
+        # `registration` accepts the reference's nested form
+        # ({method, base_lr, min_overlap_ratio, use_render} — e.g.
+        # configs/ScanNet/scannet.yaml:66-70) or a flat method string with
+        # sibling keys reg_base_lr / use_render / overlap_thre.
+        reg = lc.get("registration", "gs_reg")
+        if isinstance(reg, dict):
+            self.registration = str(reg.get("method", "gs_reg"))
+            self.reg_base_lr = float(reg.get("base_lr", 1e-3))
+            self.overlap_thre = float(
+                reg.get("min_overlap_ratio", self.overlap_thre))
+            self.use_render = bool(reg.get("use_render", False))
+        else:
+            self.registration = str(reg)
+            self.reg_base_lr = float(lc.get("reg_base_lr", 1e-3))
+            self.use_render = bool(lc.get("use_render", False))
         self.pose_opt_iters = int(lc.get("pose_opt_iters", 100))
         self.top_views = int(lc.get("top_views", 2))
         # Pyramid level for gs_reg viewpoint localizations (0 = full-res
@@ -317,6 +331,7 @@ class LoopClosure:
                 g_j, g_i, views_j, views_i, info_j.descriptors,
                 info_i.descriptors, self.cam, self.rcfg, self.reg_capacity,
                 self.overlap_thre, self.top_views, self.pose_opt_iters,
+                base_lr=self.reg_base_lr, use_render=self.use_render,
                 localize_level=self.localize_level,
                 localize_restarts=self.localize_restarts,
                 timings=timings,

@@ -115,16 +115,19 @@ def _pad_params(g: Dict[str, np.ndarray], capacity: int):
 def viewpoint_localize(
     params: GaussianParams, alive, view_c2w: np.ndarray, gt_color, gt_depth,
     cam: Camera, rcfg: RasterConfig, iters: int = 100,
+    base_lr: float = 1e-3,
 ) -> Tuple[np.ndarray, float]:
     """Optimize a camera pose so the rendered map matches the view's RGB-D.
 
     Returns (corrected c2w, final loss). reference viewpoint_localizer
-    (:16-98): MonoGS tracking loss, SE3 update, plateau scheduler.
+    (:16-98): MonoGS tracking loss, SE3 update (rot lr = 3*base_lr, trans
+    lr = base_lr, solver.py:27-34), plateau 0.98/5 (:53).
     """
     tcfg = TrackerConfig(
-        iterations=iters, cam_rot_lr=0.003, cam_trans_lr=0.001,
+        iterations=iters, cam_rot_lr=3.0 * base_lr, cam_trans_lr=base_lr,
         w_color_loss=0.95, alpha_thre=0.95, filter_alpha=True,
         filter_outlier_depth=True, soft_alpha=False, early_stop_cnt=15,
+        plateau_factor=0.98, plateau_patience=5,
         # Loop-closure drift can exceed the frozen-binning margin (tracking
         # moves px-scale; LC corrections can be dm-scale) — rebin per step.
         frozen_binning=False,
@@ -141,10 +144,11 @@ def viewpoint_localize(
 
 @functools.partial(jax.jit,
                    static_argnames=("iters", "restarts", "cam", "rcfg",
-                                    "subset_frac"))
+                                    "subset_frac", "base_lr"))
 def _localize_batch(params: GaussianParams, alive, last_w2cs, colors, depths,
                     iters: int, restarts: int, cam: Camera,
-                    rcfg: RasterConfig, subset_frac: float = 0.25):
+                    rcfg: RasterConfig, subset_frac: float = 0.25,
+                    base_lr: float = 1e-3):
     """All of one registration side's viewpoint localizations in ONE device
     dispatch (VERDICT r2 next #5): `lax.map` over the stacked views runs the
     per-view refinement loops sequentially inside a single program —
@@ -172,10 +176,15 @@ def _localize_batch(params: GaussianParams, alive, last_w2cs, colors, depths,
     from ..ops.rasterizer import gt_tiles, render
 
     inner = -(-iters // max(restarts, 1))
+    # Reference viewpoint_localizer LRs: rot 3*base_lr, trans base_lr
+    # (solver.py:27-34); ReduceLROnPlateau 0.98/5 (:53). base_lr comes from
+    # the scene config's lc.registration.base_lr (1e-3 Replica, 5e-3
+    # TUM/ScanNet/ScanNet++).
     tcfg = TrackerConfig(
-        iterations=inner, cam_rot_lr=0.003, cam_trans_lr=0.001,
+        iterations=inner, cam_rot_lr=3.0 * base_lr, cam_trans_lr=base_lr,
         w_color_loss=0.95, alpha_thre=0.95, filter_alpha=True,
         filter_outlier_depth=True, soft_alpha=False, early_stop_cnt=15,
+        plateau_factor=0.98, plateau_patience=5,
         frozen_binning=restarts > 1,
     )
     backend = rcfg.backend
@@ -294,6 +303,8 @@ def gaussian_registration(
     overlap_thre: float = 0.2,
     top_views: int = 2,
     pose_opt_iters: int = 100,
+    base_lr: float = 1e-3,
+    use_render: bool = False,
     overlap_dist: float = 0.05,
     localize_level: int = 0,
     localize_restarts: int = 4,
@@ -352,17 +363,38 @@ def gaussian_registration(
     # Target views rendered against the SOURCE map give C directly
     # (C = c2w' @ inv(c2w)); source views against the TARGET map give the
     # inverse correction. Each side's localizations run as ONE dispatch.
-    for p_map, a_map, view_list, invert in (
-        (p_src, a_src, resolve(views_tgt, tgt_best), False),
-        (p_tgt, a_tgt, resolve(views_src, src_best), True),
+    # p_own is the view's OWN submap: with use_render the localization
+    # target is a render of the view from its own map instead of the raw
+    # observation (reference solver.py:155-168, `use_render` in the ScanNet
+    # configs — suppresses sensor noise/exposure drift in the target).
+    for p_map, a_map, p_own, a_own, view_list, invert in (
+        (p_src, a_src, p_tgt, a_tgt, resolve(views_tgt, tgt_best), False),
+        (p_tgt, a_tgt, p_src, a_src, resolve(views_src, src_best), True),
     ):
         if not view_list:
             continue
         last_w2cs = np.stack([
             np.linalg.inv(np.asarray(v["c2w"], np.float64)) for v in view_list
         ])
-        colors = jnp.stack([jnp.asarray(v["color"]) for v in view_list])
-        depths = jnp.stack([jnp.asarray(v["depth"]) for v in view_list])
+        if use_render:
+            from ..core.sh import sh_to_rgb
+            from ..ops.rasterizer import render as _render
+
+            own_colors = sh_to_rgb(p_own.f_dc)
+            rc, rd = [], []
+            for k, v in enumerate(view_list):
+                out = _render(p_own.xyz, p_own.quats, p_own.log_scales,
+                              p_own.opacity_logits, own_colors,
+                              jnp.asarray(last_w2cs[k], jnp.float32),
+                              cam, rcfg, alive=a_own)
+                rc.append(jnp.clip(out.color, 0.0, 1.0))
+                # NaN depth = empty pixels -> 0 (masked invalid downstream).
+                rd.append(jnp.nan_to_num(out.depth, nan=0.0))
+            colors = jnp.stack(rc)
+            depths = jnp.stack(rd)
+        else:
+            colors = jnp.stack([jnp.asarray(v["color"]) for v in view_list])
+            depths = jnp.stack([jnp.asarray(v["depth"]) for v in view_list])
         cam_l = cam
         if localize_level > 0:
             f = 1 << localize_level
@@ -378,7 +410,7 @@ def gaussian_registration(
         rels, losses_v = _localize_batch(
             p_map, a_map, jnp.asarray(last_w2cs, dtype=jnp.float32),
             colors, depths, pose_opt_iters, localize_restarts, cam_l, rcfg,
-            subset_frac=localize_subset_frac,
+            subset_frac=localize_subset_frac, base_lr=base_lr,
         )
         rels = np.asarray(rels, np.float64)
         t0 = _tick("localize_ms", t0)

@@ -94,7 +94,13 @@ class GaussianSLAM:
             new_submap_iterations=int(mc["new_submap_iterations"]),
             new_submap_points_num=int(mc["new_submap_points_num"]),
             new_submap_gradient_points_num=int(mc["new_submap_gradient_points_num"]),
-            new_frame_sample_size=int(mc["new_frame_sample_size"]),
+            # -1 = ALL seeding-mask pixels (reference mapper.py:327-331 /
+            # Replica protocol new_frame_sample_size: -1): statically sized
+            # as H*W, invalid ids masked downstream.
+            new_frame_sample_size=(
+                int(mc["new_frame_sample_size"])
+                if int(mc["new_frame_sample_size"]) > 0
+                else self.cam.height * self.cam.width),
             new_points_radius=float(mc["new_points_radius"]),
             current_view_opt_iterations=float(mc["current_view_opt_iterations"]),
             alpha_thre=float(mc["alpha_thre"]),
@@ -119,6 +125,10 @@ class GaussianSLAM:
             mask_invalid_depth=bool(tc.get("mask_invalid_depth", False)),
             early_stop_thre=float(tc.get("early_stop_thre", 5.0e-5)),
             early_stop_cnt=int(tc["early_stop_cnt"]),
+            # ReduceLROnPlateau parity (reference gaussian_model.py:382-383
+            # + configs scheduler_factor/patience 0.95/5).
+            plateau_patience=int(tc.get("scheduler_patience", 5)),
+            plateau_factor=float(tc.get("scheduler_factor", 0.95)),
             init_err_ratio=float(tc["init_err_ratio"]),
             enable_exposure=bool(tc.get("enable_exposure", False)),
             debug_per_iter=bool(tc.get("debug_per_iter", False)),
@@ -335,6 +345,11 @@ class GaussianSLAM:
         """Bit-packed VO edge mask for seeding, or None for the Canny
         fallback (reference gaussian_slam.py:246-253). Packing keeps the
         host->device edge upload at ~100 KB on the slow tunneled link."""
+        # ScanNet++ maps from the Canny fallback even with VO odometry
+        # (reference gaussian_slam.py:246-253: `and dataset != scannetpp`
+        # gates only the EDGE source, not the odometer).
+        if self.config["data"]["dataset_name"] == "scannetpp":
+            return None
         if self.odometer is not None:
             e = self.odometer.get_edge_image(frame_id)
             if e is not None:

@@ -343,7 +343,12 @@ def seed_rows(
 
     gray255 = rgb_to_gray(gt_color) * 255.0
     if use_canny:
-        edge_b = canny(gray255, 100.0, 200.0)
+        # Non-VO fallback = the reference's orchestrator-side edge image
+        # cv2.Canny(gray, 150, 100) with default L1 gradient
+        # (gaussian_slam.py:253) — low 100 / high 150. (mapper_utils.py:285's
+        # 100/200 L2 mask is dead code there: the orchestrator always passes
+        # an edge image.)
+        edge_b = canny(gray255, 100.0, 150.0, l2gradient=False)
     else:
         edge_b = unpack_mask_bits(edge_bits, cam.height, cam.width)
     edge_b = edge_b.at[0].set(False).at[-1].set(False)

@@ -55,8 +55,10 @@ class TrackerConfig(NamedTuple):
     frozen_binning: bool = True
     init_err_ratio: float = 5.0
     enable_exposure: bool = False
+    # ReduceLROnPlateau parity (reference configs scheduler_factor/patience
+    # = 0.95/5; gaussian_model.py:382-383).
     plateau_patience: int = 5
-    plateau_factor: float = 0.5
+    plateau_factor: float = 0.95
     # Tile-subset refinement (sorted backend): refine the pose on the
     # top-`frac * T` tiles ranked by mapped (alpha^3-weighted) image+depth
     # gradient energy. The pose has ~7 DOF, so information-rich tiles carry
@@ -280,7 +282,11 @@ def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig,
     def body(c: _TrackCarry):
         (total, (cl, dl)), grads = grad_fn(c.pose)
 
-        # Early stop bookkeeping (reference :264-277).
+        # Early stop bookkeeping (reference :264-277): the counter tracks
+        # consecutive |loss delta| < thre REGARDLESS of sign — a slow
+        # sub-threshold descent is converged and stops. (A previous
+        # improved-resets-counter variant never fired at bench motion:
+        # 58.3/60 iters avg in PERF.md run 7.)
         flat = jnp.abs(total - c.prev_loss) < tcfg.early_stop_thre
         break_cnt = jnp.where(flat, c.break_cnt + 1, 0)
         done = break_cnt > tcfg.early_stop_cnt
@@ -311,7 +317,7 @@ def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig,
             adam=adam,
             plateau=plateau,
             prev_loss=total,
-            break_cnt=jnp.where(improved, 0, break_cnt),
+            break_cnt=break_cnt,
             done=done,
             best_loss=jnp.minimum(total, c.best_loss),
             best_pose=best_pose,
