@@ -142,3 +142,36 @@ def test_gs_registration_overlap_gate(rng):
     )
     assert not res.successful
     assert res.overlap < 0.2
+
+def test_gs_registration_use_render_recovers_offset(rng):
+    """use_render=True: localization targets are renders from the view's
+    OWN submap (reference solver.py:155-168, ScanNet configs) — since the
+    test views were generated by rendering the same maps, the recovered
+    correction must match the raw-observation path."""
+    src = _scene(rng)
+    err = np.asarray(
+        se3_exp(jnp.asarray([0.04, -0.03, 0.02, 0.01, -0.015, 0.01])),
+        np.float64,
+    )
+    tgt = dict(src)
+    tgt["xyz"] = (
+        src["xyz"] @ np.linalg.inv(err)[:3, :3].T.astype(np.float32)
+        + np.linalg.inv(err)[:3, 3].astype(np.float32)
+    )
+    c2w_a = np.eye(4)
+    views_src, desc_src = _views(src, [c2w_a])
+    views_tgt, desc_tgt = _views(tgt, [np.linalg.inv(err) @ c2w_a])
+
+    res = gaussian_registration(
+        src, tgt, views_src, views_tgt, desc_src, desc_tgt, CAM, RCFG,
+        capacity=512, overlap_thre=0.1, top_views=1, pose_opt_iters=200,
+        overlap_dist=0.2, use_render=True, base_lr=1e-3,
+    )
+    assert res.successful
+    diff = res.transformation @ np.linalg.inv(err)
+    t_err = np.linalg.norm(diff[:3, 3])
+    r_err = np.degrees(
+        np.arccos(np.clip((np.trace(diff[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert t_err < 0.03, (t_err, res.transformation)
+    assert r_err < 1.5, r_err
