@@ -112,6 +112,11 @@ class GaussianSLAM:
             kf_block=int(mc.get("kf_block", 10)),
             freeze_frac=float(mc.get("freeze_frac", 0.0)),
             freeze_after=float(mc.get("freeze_after", 0.65)),
+            # EAGS_INIT_HALFRES overrides the config knob so a bench
+            # snapshot can sweep the init protocol without edits.
+            init_halfres_frac=float(
+                os.environ.get("EAGS_INIT_HALFRES",
+                               mc.get("init_halfres_frac", 0.0))),
         )
         self.tcfg = TrackerConfig(
             iterations=int(tc["iterations"]),
@@ -423,11 +428,37 @@ class GaussianSLAM:
         iters = (
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
-        self.state, n_added, losses, n_alive, kf_desc = M.insert_and_optimize(
-            self.state, rows, row_valid, self.kfs,
-            jnp.asarray(self.n_kf + 1, jnp.int32), jnp.asarray(self._key()),
-            iters, self.cam, self.rcfg, self.mcfg, mesh=self.mesh,
+        iters_half = (
+            int(round(self.mcfg.init_halfres_frac * iters))
+            if is_new_submap else 0
         )
+        if iters_half > 0:
+            # Half-res init phase (MapperConfig.init_halfres_frac): the
+            # boundary frame is the only keyframe of a fresh submap, so
+            # phase 1 optimizes against its 2x-downsampled copy (~1/4 the
+            # tiles/iter), then phase 2 finishes full-res and computes the
+            # full-res LC descriptor. Same two host fetches as the plain
+            # path — phase 1's outputs stay on device.
+            kfs_half = M.halfres_single_kf(gt_color, gt_depth, w2c32, exposure)
+            self.state, n_added, _, _, _ = M.insert_and_optimize(
+                self.state, rows, row_valid, kfs_half,
+                jnp.asarray(1, jnp.int32), jnp.asarray(self._key()),
+                iters_half, self.cam.scaled(1), self.rcfg, self.mcfg,
+                mesh=self.mesh,
+            )
+            self.state, losses, n_alive, kf_desc = M.optimize_and_describe(
+                self.state, self.kfs,
+                jnp.asarray(self.n_kf + 1, jnp.int32),
+                jnp.asarray(self._key()),
+                iters - iters_half, self.cam, self.rcfg, self.mcfg,
+                mesh=self.mesh,
+            )
+        else:
+            self.state, n_added, losses, n_alive, kf_desc = M.insert_and_optimize(
+                self.state, rows, row_valid, self.kfs,
+                jnp.asarray(self.n_kf + 1, jnp.int32), jnp.asarray(self._key()),
+                iters, self.cam, self.rcfg, self.mcfg, mesh=self.mesh,
+            )
         _tick("optimize", losses)
 
         # 4. make the current frame a permanent keyframe. Past the window

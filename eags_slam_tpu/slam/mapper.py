@@ -83,6 +83,12 @@ class MapperConfig(NamedTuple):
     # for the frozen phase. 0 disables. Resident path only.
     freeze_frac: float = 0.0
     freeze_after: float = 0.65
+    # Half-resolution submap-init phase (VERDICT r3 next #4): the first
+    # `init_halfres_frac` of new_submap_iterations optimize against a
+    # 2x-downsampled copy of the boundary keyframe (tiles/iter divide by
+    # ~4), then the remainder runs full-res. 0 disables (= reference
+    # protocol: all init iters full-res, mapper.py:317-334).
+    init_halfres_frac: float = 0.0
     # 3DGS LRs (reference arguments.py:53-72; xyz schedule barely moves over
     # <=1k submap iters so the initial value is used).
     lr_xyz: float = 1e-4
@@ -1020,6 +1026,54 @@ def optimize_submap(
     """Jitted submap optimization (see `_optimize_core`)."""
     return _optimize_core(state, kfs, n_kf, key, iterations, cam, rcfg, mcfg,
                           mesh)
+
+
+@jax.jit
+def halfres_single_kf(color, depth, w2c, exposure) -> KeyframeBatch:
+    """One-keyframe batch at half resolution for the submap-init phase.
+
+    Color: 2x2 mean; depth: hole-aware 2x2 (ops.image.depth_pyr_down —
+    mean of valid entries, 0 when the block is all-holes). The w2c pose is
+    resolution-independent; intrinsics come from Camera.scaled(1)."""
+    from ..ops.image import depth_pyr_down
+
+    h2, w2 = color.shape[0] // 2, color.shape[1] // 2
+    c = color[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 3)
+    color_half = jnp.mean(c, axis=(1, 3))
+    depth_half = depth_pyr_down(depth)[:h2, :w2]
+    return KeyframeBatch(
+        color=color_half[None],
+        depth=depth_half[None],
+        w2c=w2c[None],
+        exposure=exposure[None],
+        valid=jnp.ones((1,), bool),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "cam", "rcfg", "mcfg", "mesh"))
+def optimize_and_describe(
+    state: GaussianState,
+    kfs: KeyframeBatch,
+    n_kf,
+    key,
+    iterations: int,
+    cam: Camera,
+    rcfg: RasterConfig,
+    mcfg: MapperConfig,
+    mesh=None,
+):
+    """`optimize_submap` + the slot-0 place-recognition descriptor + alive
+    count in one dispatch — the full-res tail of a half-res submap init
+    (the descriptor must come from the FULL-res boundary frame so LC
+    detection is resolution-independent)."""
+    from ..core.gaussians import num_alive
+    from ..lc.descriptor import global_descriptor
+
+    new_state, aux = _optimize_core(state, kfs, n_kf, key, iterations, cam,
+                                    rcfg, mcfg, mesh)
+    desc = global_descriptor(kfs.color[0])
+    return new_state, aux["losses"], num_alive(new_state), desc
 
 
 @functools.partial(
