@@ -67,6 +67,7 @@ class RasterConfig(NamedTuple):
     bands: int = 3            # sorted backend: center-tile neighborhood side
     kernel_bf16: bool = False  # sorted backend: bf16 triangular matmuls
     kernel_quadform: bool = False  # sorted backend: MXU quadform exponent
+    rmw_window: bool = False  # sorted bwd: retire-on-advance windowed rmw
 
 
 class RenderOutput(NamedTuple):
@@ -581,7 +582,7 @@ def _composite_v2(
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
                            cfg.seg_cap, cfg.kernel_bf16,
-                           cfg.kernel_quadform)
+                           cfg.kernel_quadform, cfg.rmw_window)
     return _assemble_image(out, cam, cfg)
 
 
@@ -665,7 +666,7 @@ def render_sorted_resident(
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group, cfg.bands,
                            cfg.seg_cap, cfg.kernel_bf16,
-                           cfg.kernel_quadform)
+                           cfg.kernel_quadform, cfg.rmw_window)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
@@ -718,7 +719,7 @@ def render_sorted_resident_tiles(
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
                            cfg.group, cfg.bands, cfg.seg_cap,
-                           cfg.kernel_bf16, cfg.kernel_quadform)
+                           cfg.kernel_bf16, cfg.kernel_quadform, cfg.rmw_window)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)
@@ -985,7 +986,7 @@ def render_frozen_sorted_tiles(
     out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
                            cfg.group, cfg.bands, cfg.seg_cap,
-                           cfg.kernel_bf16, cfg.kernel_quadform)
+                           cfg.kernel_bf16, cfg.kernel_quadform, cfg.rmw_window)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)
@@ -1012,7 +1013,7 @@ def render_frozen_sorted(
     out = composite_sorted(attrs_sorted, fs.seg_start, fs.seg_cnt, tile_ids,
                            cfg.tile, tiles_x, cfg.group,
                            cfg.bands, cfg.seg_cap, cfg.kernel_bf16,
-                           cfg.kernel_quadform)
+                           cfg.kernel_quadform, cfg.rmw_window)
     color, depth, alpha = _assemble_image(out, cam, cfg)
     color = color[: cam.height, : cam.width]
     depth = depth[: cam.height, : cam.width]
@@ -1055,7 +1056,7 @@ def render_tiles(
     out = composite_sorted(attrs_sorted, seg_start, seg_cnt,
                            tile_ids.astype(jnp.int32), cfg.tile, tiles_x,
                            cfg.group, cfg.bands, cfg.seg_cap,
-                           cfg.kernel_bf16, cfg.kernel_quadform)
+                           cfg.kernel_bf16, cfg.kernel_quadform, cfg.rmw_window)
     s = tile_ids.shape[0]
     ts = cfg.tile
     img = out[:s, :5].reshape(s, 5, ts, ts)

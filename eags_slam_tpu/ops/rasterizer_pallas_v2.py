@@ -374,10 +374,13 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
 
 
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
-                rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, buf, bufw,
-                gbuf, gtmp, sem, gsem, gsem_w, *, tile: int, tiles_x: int,
-                group: int, n_sel: int, bands: int, seg_cap: int, bf16: bool,
-                quadform: bool):
+                rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, *scratch,
+                tile: int, tiles_x: int, group: int, n_sel: int, bands: int,
+                seg_cap: int, bf16: bool, quadform: bool, window: bool):
+    if window:
+        buf, bufw, gbuf, rrbuf, wbuf, gacc, sem, rsem, wsem = scratch
+    else:
+        buf, bufw, gbuf, gtmp, sem, gsem, gsem_w = scratch
     px = tile * tile
     capt = bands * seg_cap
     base_t = pl.program_id(0) * group
@@ -395,16 +398,6 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
 
     def _gwin(al):
         return grad_hbm.at[:, pl.ds(al, seg_cap)]
-
-    def _wait_grad_writes(tc_prev):
-        # Waiting only needs the semaphore + transfer size, so the
-        # reconstructed descriptor's window (the previous tile's band) is
-        # whatever _band_al returns for it — exactness of the address is
-        # irrelevant to the wait amount.
-        for b in range(bands):
-            pltpu.make_async_copy(
-                gtmp.at[b], _gwin(_band_al(tc_prev, b)), gsem_w.at[b]
-            ).wait()
 
     def start_tile_dmas(slot, s):
         tc = tile_of(s)
@@ -424,23 +417,15 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
 
     start_tile_dmas(0, base_t)
 
-    def tile_body(g, pending):
-        s_idx = base_t + g
-        tc = tile_of(s_idx)
-        slot = g % 2
-        wait_tile_dmas(slot, s_idx)
-        # Prefetch the next tile's bands during this tile's compute + rmw
-        # (attrs_hbm reads never conflict with the grad_hbm rmw below).
-        @pl.when(g + 1 < group)
-        def _():
-            start_tile_dmas((g + 1) % 2, s_idx + 1)
-
+    def _replay(g, tc, slot, is_live):
+        """Reverse chunk replay for one tile: recompute alphas/weights and
+        accumulate all per-entry grads into gbuf (NCH, capt) in the tile's
+        band-window lane layout. Attr band DMAs must already be waited."""
         if bf16:
             _rebuild_f32(bufw, buf[slot])
             bufs = bufw[...]
         else:
             bufs = buf[slot]
-        is_live = s_idx < n_sel
         # Rank + survivor count persisted by the forward kernel (out ch 7):
         # no candidates / rank-pass recomputation in the replay.
         rank = rank_in_ref[pl.ds(g, 1)]
@@ -549,6 +534,37 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             (eff - 1, log_t_final, jnp.zeros((px, 1), jnp.float32)),
         )
 
+    if window:
+        _bwd_rmw_window(grad_hbm, gbuf, rrbuf, wbuf, gacc, rsem, wsem,
+                        tile_of, _band_al, start_tile_dmas, wait_tile_dmas,
+                        _replay, base_t=base_t, group=group, n_sel=n_sel,
+                        bands=bands, seg_cap=seg_cap)
+        return
+
+    def _wait_grad_writes(tc_prev):
+        # Waiting only needs the semaphore + transfer size, so the
+        # reconstructed descriptor's window (the previous tile's band) is
+        # whatever _band_al returns for it — exactness of the address is
+        # irrelevant to the wait amount.
+        for b in range(bands):
+            pltpu.make_async_copy(
+                gtmp.at[b], _gwin(_band_al(tc_prev, b)), gsem_w.at[b]
+            ).wait()
+
+    def tile_body(g, pending):
+        s_idx = base_t + g
+        tc = tile_of(s_idx)
+        slot = g % 2
+        wait_tile_dmas(slot, s_idx)
+        # Prefetch the next tile's bands during this tile's compute + rmw
+        # (attrs_hbm reads never conflict with the grad_hbm rmw below).
+        @pl.when(g + 1 < group)
+        def _():
+            start_tile_dmas((g + 1) % 2, s_idx + 1)
+
+        is_live = s_idx < n_sel
+        _replay(g, tc, slot, is_live)
+
         # Read-modify-write the bands into the global grad array. Grid
         # steps run sequentially on this single-TensorCore chip and the
         # ordering below serializes overlapping segments of NEIGHBORING
@@ -613,6 +629,190 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
         _wait_grad_writes(tile_of(jnp.minimum(base_t + group, n_sel) - 1))
 
 
+def _bwd_rmw_window(grad_hbm, gbuf, rrbuf, wbuf, gacc, rsem, wsem,
+                    tile_of, band_al, start_tile_dmas, wait_tile_dmas,
+                    replay, *, base_t, group, n_sel, bands, seg_cap):
+    """Retire-on-advance windowed rmw (PERF.md roadmap #5, traffic half).
+
+    The legacy path above rmw's each band's FULL seg_cap window per tile;
+    consecutive tiles' windows overlap by (seg_cap - per-tile stride) lanes,
+    so at SLAM shapes (stride ~128, seg_cap 1024) every grad lane is re-read
+    and re-written ~8x per band per pass. Here each band keeps a VMEM
+    accumulation window `gacc` anchored at the current tile's 128-aligned
+    band start; advancing to the next tile RETIRES only the lanes that fall
+    off the back (delta = new_start - anchor, typically 0-2 chunks) with one
+    chunk-sized rmw each, then shifts the window left and adds the new
+    tile's gbuf contributions. Each lane hits HBM once per band-row pass —
+    ~(seg_cap/stride)x less rmw traffic.
+
+    Pipelining: retire READS are issued before the tile's replay compute
+    (they overlap it), retire WRITES stay in flight through the next tile's
+    replay. Reads land in `rrbuf` and writes source `wbuf`, so an in-flight
+    write's source is never overwritten by the next tile's reads. Backward
+    window jumps (unsorted tile_ids) and advances > seg_cap retire the full
+    window; a conservative region-overlap predicate forces an early wait of
+    pending writes before reads in those rare unsafe cases.
+
+    Window anchors are 128-aligned (band starts are), so every dynamic DMA
+    offset is a CHUNK multiple. gacc is (bands, NCH, 2*seg_cap) with the
+    top half kept zero: the in-place ascending chunk-copy left shift reads
+    up to lane 2*seg_cap-1 and pulls zeros into the vacated tail for free.
+    """
+    maxc = seg_cap // CHUNK
+
+    def _rd(b, ci, lane0):
+        sl = slice(ci * CHUNK, (ci + 1) * CHUNK)
+        return pltpu.make_async_copy(
+            grad_hbm.at[:, pl.ds(pl.multiple_of(lane0, CHUNK), CHUNK)],
+            rrbuf.at[b, :, sl], rsem.at[b, ci])
+
+    def _wr(b, ci, lane0):
+        sl = slice(ci * CHUNK, (ci + 1) * CHUNK)
+        return pltpu.make_async_copy(
+            wbuf.at[b, :, sl],
+            grad_hbm.at[:, pl.ds(pl.multiple_of(lane0, CHUNK), CHUNK)],
+            wsem.at[b, ci])
+
+    gacc[...] = jnp.zeros((bands, NCH, 2 * seg_cap), jnp.float32)
+    tc0 = tile_of(base_t)
+    init = (jnp.int32(0),) + tuple(
+        band_al(tc0, b) for b in range(bands)
+    ) + (jnp.int32(0),) * bands + (jnp.int32(0),) * bands
+
+    def tile_body(g, carry):
+        pend = carry[0]
+        base = list(carry[1:1 + bands])
+        pdn = list(carry[1 + bands:1 + 2 * bands])
+        ws = list(carry[1 + 2 * bands:1 + 3 * bands])
+
+        s_idx = base_t + g
+        tc = tile_of(s_idx)
+        slot = g % 2
+        wait_tile_dmas(slot, s_idx)
+        @pl.when(g + 1 < group)
+        def _():
+            start_tile_dmas((g + 1) % 2, s_idx + 1)
+
+        is_live = s_idx < n_sel
+        als = [band_al(tc, b) for b in range(bands)]
+        raw = [als[b] - base[b] for b in range(bands)]
+        delta = [
+            jnp.where(
+                is_live,
+                jnp.where((raw[b] < 0) | (raw[b] > seg_cap), seg_cap, raw[b]),
+                0,
+            )
+            for b in range(bands)
+        ]
+        n_ret = [delta[b] // CHUNK for b in range(bands)]
+
+        # Early wait: pending write regions [ws_i, ws_i+pdn_i*CHUNK) vs this
+        # tile's retire-read regions [base_j, base_j+delta_j). Same-band
+        # regions are adjacent by construction in the monotone case
+        # (ws_b + pdn_b*CHUNK == base_b), so this only fires on jumps or
+        # cross-band window collisions.
+        safe = jnp.bool_(True)
+        for i in range(bands):
+            wend = ws[i] + pdn[i] * CHUNK
+            for j in range(bands):
+                overlap = ((pdn[i] > 0) & (n_ret[j] > 0)
+                           & (ws[i] < base[j] + delta[j]) & (base[j] < wend))
+                safe = safe & ~overlap
+        for b in range(bands):
+            for ci in range(maxc):
+                @pl.when((pend == 1) & ~safe & (ci < pdn[b]))
+                def _(b=b, ci=ci):
+                    _wr(b, ci, ws[b] + ci * CHUNK).wait()
+        pend_now = jnp.where(safe, pend, 0)
+
+        # Issue retire reads; they overlap the replay compute below.
+        for b in range(bands):
+            for ci in range(maxc):
+                @pl.when(ci < n_ret[b])
+                def _(b=b, ci=ci):
+                    _rd(b, ci, base[b] + ci * CHUNK).start()
+
+        replay(g, tc, slot, is_live)
+
+        any_ret = jnp.int32(0)
+        for b in range(bands):
+            any_ret = any_ret + n_ret[b]
+        will_write = any_ret > 0
+
+        # Previous tile's writes must land before wbuf is recomputed.
+        for b in range(bands):
+            for ci in range(maxc):
+                @pl.when(will_write & (pend_now == 1) & (ci < pdn[b]))
+                def _(b=b, ci=ci):
+                    _wr(b, ci, ws[b] + ci * CHUNK).wait()
+
+        # Retire: wait reads, add the window's accumulated grads, write.
+        for b in range(bands):
+            for ci in range(maxc):
+                @pl.when(ci < n_ret[b])
+                def _(b=b, ci=ci):
+                    sl = slice(ci * CHUNK, (ci + 1) * CHUNK)
+                    _rd(b, ci, base[b] + ci * CHUNK).wait()
+                    wbuf[b, :, sl] = rrbuf[b, :, sl] + gacc[b, :, sl]
+                    _wr(b, ci, base[b] + ci * CHUNK).start()
+
+        # Shift each band's window left by delta (in-place ascending chunk
+        # copy: src index >= dst + CHUNK whenever delta > 0, and the zero
+        # top half back-fills the tail), then fold in this tile's grads.
+        for b in range(bands):
+            @pl.when(delta[b] > 0)
+            def _(b=b):
+                for ci in range(maxc):
+                    off = pl.multiple_of(ci * CHUNK + delta[b], CHUNK)
+                    gacc[b, :, ci * CHUNK:(ci + 1) * CHUNK] = (
+                        gacc[b, :, pl.ds(off, CHUNK)])
+
+        @pl.when(is_live)
+        def _():
+            for b in range(bands):
+                gacc[b, :, 0:seg_cap] = (
+                    gacc[b, :, 0:seg_cap]
+                    + gbuf[:, b * seg_cap:(b + 1) * seg_cap])
+
+        new_pend = jnp.where(will_write, 1, pend_now).astype(jnp.int32)
+        new_base = [jnp.where(is_live, als[b], base[b]) for b in range(bands)]
+        new_pdn = [
+            jnp.where(will_write, n_ret[b], jnp.where(pend_now == 1, pdn[b], 0))
+            for b in range(bands)
+        ]
+        new_ws = [
+            jnp.where(will_write, base[b], ws[b]) for b in range(bands)
+        ]
+        return (new_pend,) + tuple(new_base) + tuple(new_pdn) + tuple(new_ws)
+
+    final = jax.lax.fori_loop(0, group, tile_body, init)
+    pend = final[0]
+    base = final[1:1 + bands]
+    pdn = final[1 + bands:1 + 2 * bands]
+    ws = final[1 + 2 * bands:1 + 3 * bands]
+
+    # Drain outstanding writes, then flush each band's full residual window
+    # (blocking per band; bands sequential so overlapping band windows
+    # still accumulate correctly).
+    for b in range(bands):
+        for ci in range(maxc):
+            @pl.when((pend == 1) & (ci < pdn[b]))
+            def _(b=b, ci=ci):
+                _wr(b, ci, ws[b] + ci * CHUNK).wait()
+    for b in range(bands):
+        for ci in range(maxc):
+            _rd(b, ci, base[b] + ci * CHUNK).start()
+        for ci in range(maxc):
+            _rd(b, ci, base[b] + ci * CHUNK).wait()
+        for ci in range(maxc):
+            sl = slice(ci * CHUNK, (ci + 1) * CHUNK)
+            wbuf[b, :, sl] = rrbuf[b, :, sl] + gacc[b, :, sl]
+        for ci in range(maxc):
+            _wr(b, ci, base[b] + ci * CHUNK).start()
+        for ci in range(maxc):
+            _wr(b, ci, base[b] + ci * CHUNK).wait()
+
+
 def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
               quadform, emit_rank=True):
     px = tile * tile
@@ -665,10 +865,27 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
 
 
 def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
-              quadform):
+              quadform, window=False):
     px = tile * tile
     t_pad = -(-n_sel // group)
     capt = bands * seg_cap
+    if window:
+        maxc = seg_cap // CHUNK
+        rmw_scratch = [
+            pltpu.VMEM((bands, NCH, seg_cap), jnp.float32),  # rrbuf (reads)
+            pltpu.VMEM((bands, NCH, seg_cap), jnp.float32),  # wbuf (writes)
+            pltpu.VMEM((bands, NCH, 2 * seg_cap), jnp.float32),  # gacc
+            pltpu.SemaphoreType.DMA((2, bands)),
+            pltpu.SemaphoreType.DMA((bands, maxc)),        # retire reads
+            pltpu.SemaphoreType.DMA((bands, maxc)),        # retire writes
+        ]
+    else:
+        rmw_scratch = [
+            pltpu.VMEM((bands, NCH, seg_cap), jnp.float32),  # gtmp (per band)
+            pltpu.SemaphoreType.DMA((2, bands)),
+            pltpu.SemaphoreType.DMA((bands,)),             # grad reads
+            pltpu.SemaphoreType.DMA((bands,)),             # deferred writes
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_pad,),
@@ -689,17 +906,13 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
             pltpu.VMEM((NCH, capt) if bf16 else (8, CHUNK),
                        jnp.float32),                       # bufw (f32 view)
             pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
-            pltpu.VMEM((bands, NCH, seg_cap), jnp.float32),  # gtmp (per band)
-            pltpu.SemaphoreType.DMA((2, bands)),
-            pltpu.SemaphoreType.DMA((bands,)),             # grad reads
-            pltpu.SemaphoreType.DMA((bands,)),             # deferred writes
-        ],
+        ] + rmw_scratch,
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tile=tile, tiles_x=tiles_x,
                           group=group, n_sel=n_sel, bands=bands,
                           seg_cap=seg_cap, bf16=bf16,
-                          quadform=quadform),
+                          quadform=quadform, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NCH, n_pad), jnp.float32),
         # Flat input index 7 = the zeroed grad buffer (after the three
@@ -711,11 +924,11 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
                      tile: int, tiles_x: int, group: int, bands: int,
                      seg_cap: int, bf16: bool = False,
-                     quadform: bool = False):
+                     quadform: bool = False, window: bool = False):
     """attrs_sorted (NCH, Npad) center-tile-sorted; tile_ids (S,) selects
     which tiles to render (arange(T) for a full image). Returns
     (ceil(S/group)*group, NCH, PX) tile images (channels: see module doc)."""
@@ -728,7 +941,8 @@ def composite_sorted(attrs_sorted, seg_start, seg_cnt, tile_ids,
 
 
 def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
-                          tiles_x, group, bands, seg_cap, bf16, quadform):
+                          tiles_x, group, bands, seg_cap, bf16, quadform,
+                          window):
     attrs_dma = to_bf16_layout(attrs_sorted) if bf16 else attrs_sorted
     out, rank = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
                           tiles_x, group, bands, seg_cap, bf16, quadform)(
@@ -737,12 +951,12 @@ def _composite_sorted_fwd(attrs_sorted, seg_start, seg_cnt, tile_ids, tile,
 
 
 def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, bf16,
-                          quadform, res, dout):
+                          quadform, window, res, dout):
     attrs_dma, seg_start, seg_cnt, tile_ids, out, rank = res
     n_pad = attrs_dma.shape[1]
     zeros = jnp.zeros((NCH, n_pad), jnp.float32)
     grads = _make_bwd(tile_ids.shape[0], n_pad, tile, tiles_x, group, bands,
-                      seg_cap, bf16, quadform)(
+                      seg_cap, bf16, quadform, window)(
         seg_start.reshape(-1), seg_cnt.reshape(-1),
                                tile_ids, attrs_dma, out, rank, dout,
                                zeros)

@@ -16,6 +16,9 @@ CONFIGS=(
   "tile=64,dup_side=2,seg_cap=1536,group=4"
   "tile=64,dup_side=2,seg_cap=2048,group=4"
   "group=16"
+  "rmw_window=1"                           # retire-on-advance bwd rmw
+  "rmw_window=1,seg_cap=1536"
+  "rmw_window=1,tile=64,dup_side=2,seg_cap=2048,group=4"
 )
 for cfg in "${CONFIGS[@]}"; do
   echo "=== EAGS_RCFG='$cfg' ==="
