@@ -88,6 +88,11 @@ class GaussianSLAM:
             # so it defaults OFF; the flag stays for bandwidth-bound parts.
             kernel_bf16=bool(mc.get("kernel_bf16", False)),
             kernel_quadform=bool(mc.get("kernel_quadform", False)),
+            # Retire-on-advance windowed bwd rmw (PERF.md roadmap #5).
+            # EAGS_RMW_WINDOW overrides the config knob so a bench run can
+            # A/B it without editing configs.
+            rmw_window=bool(int(os.environ.get(
+                "EAGS_RMW_WINDOW", int(bool(mc.get("rmw_window", False)))))),
         )
         self.mcfg = M.MapperConfig(
             iterations=int(mc["iterations"]),
