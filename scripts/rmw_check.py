@@ -47,13 +47,15 @@ def scene(n, h, w, seed):
         + (jnp.eye(4),)
 
 
-def grads_for(n, h, w, seed):
+def grads_for(n, h, w, seed, **cfg_over):
     import jax
 
     from eags_slam_tpu.ops.rasterizer import RasterConfig, render
 
-    cfg = RasterConfig(tile=32, dup_side=3, group=8, backend="sorted",
-                       seg_cap=1024, bands=3)
+    kw = dict(tile=32, dup_side=3, group=8, backend="sorted",
+              seg_cap=1024, bands=3)
+    kw.update(cfg_over)
+    cfg = RasterConfig(**kw)
     cam, args = scene(n, h, w, seed)
 
     def loss(*a):
@@ -93,6 +95,37 @@ def compare(a_path, b_path):
     sys.exit(0 if ok else 1)
 
 
+def window():
+    """On-chip golden check of the retire-on-advance windowed bwd rmw
+    (RasterConfig.rmw_window) against the legacy full-window rmw, same
+    process, same inputs. The interpret-mode pytest goldens cannot catch
+    hardware DMA ordering (retire reads racing pending writes, window-shift
+    chunk copies, cross-band collisions); a mismatch here means the sweep's
+    rmw_window timings are garbage. Scenes: dense (disjoint band windows,
+    steady monotone advance), sparse (overlapping windows, zero-delta
+    tiles), and the sweep's big-tile shape (tile=64, seg_cap=2048)."""
+    cases = [
+        ("dense32", dict(n=20000, h=256, w=480, seed=0), {}),
+        ("sparse32", dict(n=1536, h=256, w=480, seed=1), {}),
+        ("dense64", dict(n=20000, h=256, w=480, seed=2),
+         dict(tile=64, dup_side=2, group=4, seg_cap=2048)),
+    ]
+    worst = 0.0
+    for name, sc, over in cases:
+        ref = grads_for(sc["n"], sc["h"], sc["w"], sc["seed"], **over)
+        win = grads_for(sc["n"], sc["h"], sc["w"], sc["seed"],
+                        rmw_window=True, **over)
+        for i, (x, y) in enumerate(zip(ref, win)):
+            denom = np.maximum(np.abs(x), 1e-3)
+            rel = float(np.max(np.abs(x - y) / denom))
+            worst = max(worst, rel)
+            if rel > 1e-5:
+                print(f"{name} grad[{i}]: max_rel={rel:.3e}")
+    ok = worst < 5e-4  # same program order, both f32: near-bit-exact
+    print(("OK" if ok else "MISMATCH"), f"window-vs-legacy worst={worst:.3e}")
+    sys.exit(0 if ok else 1)
+
+
 def perf():
     import jax
     import jax.numpy as jnp
@@ -129,5 +162,7 @@ if __name__ == "__main__":
         dump(sys.argv[2])
     elif cmd == "compare":
         compare(sys.argv[2], sys.argv[3])
+    elif cmd == "window":
+        window()
     elif cmd == "perf":
         perf()

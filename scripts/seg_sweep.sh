@@ -16,10 +16,22 @@ CONFIGS=(
   "tile=64,dup_side=2,seg_cap=1536,group=4"
   "tile=64,dup_side=2,seg_cap=2048,group=4"
   "group=16"
-  "rmw_window=1"                           # retire-on-advance bwd rmw
-  "rmw_window=1,seg_cap=1536"
-  "rmw_window=1,tile=64,dup_side=2,seg_cap=2048,group=4"
 )
+# The windowed-rmw configs are only worth timing if the kernel is
+# golden-exact ON CHIP (interpret-mode tests can't see DMA ordering).
+echo "=== rmw_window on-chip golden check ==="
+if PYTHONPATH=/root/repo:/root/.axon_site \
+   JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+   JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0 \
+   timeout 3600 python scripts/rmw_check.py window; then
+  CONFIGS+=(
+    "rmw_window=1"                         # retire-on-advance bwd rmw
+    "rmw_window=1,seg_cap=1536"
+    "rmw_window=1,tile=64,dup_side=2,seg_cap=2048,group=4"
+  )
+else
+  echo "rmw_window GOLDEN CHECK FAILED (rc=$?) — skipping window configs"
+fi
 for cfg in "${CONFIGS[@]}"; do
   echo "=== EAGS_RCFG='$cfg' ==="
   EAGS_RCFG="$cfg" EAGS_MAPBENCH_MODE=resident10 \
