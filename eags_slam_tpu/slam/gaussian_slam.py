@@ -122,6 +122,10 @@ class GaussianSLAM:
             init_halfres_frac=float(
                 os.environ.get("EAGS_INIT_HALFRES",
                                mc.get("init_halfres_frac", 0.0))),
+            init_warm_start=bool(int(
+                os.environ.get("EAGS_INIT_WARM",
+                               int(bool(mc.get("init_warm_start", False)))))),
+            warm_min_visible=int(mc.get("warm_min_visible", 20000)),
         )
         self.tcfg = TrackerConfig(
             iterations=int(tc["iterations"]),
@@ -274,6 +278,7 @@ class GaussianSLAM:
         self.kfs = M.empty_keyframes(self.mcfg.max_keyframes, self.cam)
         self.n_kf = 0  # permanent keyframes in slots 1..n_kf
         self._n_alive = 0
+        self._warm_inited = False  # set by start_new_submap's warm insert
         self._kf_seen = 0           # permanent keyframes pushed this submap
         self._warned_reservoir = False
 
@@ -344,11 +349,40 @@ class GaussianSLAM:
         self.submap_paths.append(path)
         return path
 
+    def _warm_pack(self, frame_id: int):
+        """Frustum-visible rows of the OUTGOING submap for the warm-start
+        init (MapperConfig.init_warm_start), or None when too few are
+        visible (fall back to the reference's full re-seed protocol).
+        Captured BEFORE `_new_submap` resets the state; the returned rows
+        alias the old device arrays."""
+        if not self.mcfg.init_warm_start:
+            return None
+        if self._n_alive < self.mcfg.warm_min_visible:
+            return None
+        w2c32 = jnp.asarray(
+            np.linalg.inv(self.estimated_c2ws[frame_id]), dtype=jnp.float32)
+        vis, n = M.warm_visible(
+            self.state.params, self.state.alive, w2c32, self.cam)
+        n_vis = int(n)
+        if n_vis < self.mcfg.warm_min_visible:
+            return None
+        return self.state.params, vis, n_vis
+
     def start_new_submap(self, frame_id: int):
+        warm = self._warm_pack(frame_id)
         self.submap_id += 1
         self.submap_anchor_frame = frame_id
         self.submap_kf_frame_ids = []
         self._new_submap()
+        self._warm_inited = False
+        if warm is not None:
+            rows, vis, n_vis = warm
+            cap = G.bucket_for(n_vis, self.capacity)
+            if cap > self.state.alive.shape[0]:
+                self.state = G.expand_state(self.state, cap)
+            self.state, n_ins = G.insert(self.state, rows, vis)
+            self._n_alive = int(n_ins)
+            self._warm_inited = True
 
     # ------------------------------------------------------------------
     def _edge_bits(self, frame_id: int):
@@ -411,11 +445,19 @@ class GaussianSLAM:
                 self, "_zero_edge_bits",
                 jnp.zeros((self.cam.height, wb), jnp.uint8),
             )
+        # A warm-started submap (start_new_submap copied the previous
+        # submap's frustum-visible gaussians) seeds its boundary frame like
+        # a REGULAR frame: render-based update mask over the warm map +
+        # new_frame_sample_size samples, instead of the 100k+50k re-seed.
+        # The iteration cap below stays at new_submap_iterations — the
+        # early-stop while_loop exits as soon as the warm map converges.
+        warm = is_new_submap and self._warm_inited
+        seed_as_new = is_new_submap and not warm
         rows, row_valid, n_valid, seeding_mask = M.seed_rows(
             self.state.params, self.state.alive, jnp.asarray(self._key()),
             gt_color, gt_depth, c2w32, w2c32, edge_bits,
-            self.cam, self.rcfg, self.mcfg, is_new_submap, use_canny,
-            True, self.mcfg.outlier_removal and not is_new_submap,
+            self.cam, self.rcfg, self.mcfg, seed_as_new, use_canny,
+            True, self.mcfg.outlier_removal and not seed_as_new,
         )
         n_valid = int(jax.device_get(n_valid))
         _tick("seed")
@@ -433,9 +475,12 @@ class GaussianSLAM:
         iters = (
             self.mcfg.new_submap_iterations if is_new_submap else self.mcfg.iterations
         )
+        # Half-res init applies only to the full re-seed protocol; a warm
+        # init is already cheap (early stop on a converged map) and its
+        # first phase would down-weight the warm map's full-res residuals.
         iters_half = (
             int(round(self.mcfg.init_halfres_frac * iters))
-            if is_new_submap else 0
+            if seed_as_new else 0
         )
         if iters_half > 0:
             # Half-res init phase (MapperConfig.init_halfres_frac): the

@@ -89,6 +89,19 @@ class MapperConfig(NamedTuple):
     # ~4), then the remainder runs full-res. 0 disables (= reference
     # protocol: all init iters full-res, mapper.py:317-334).
     init_halfres_frac: float = 0.0
+    # Warm-start submap init (VERDICT r3 next #4 "frustum re-anchor instead
+    # of re-seeding"): a new submap starts from the previous submap's
+    # frustum-visible gaussians (live state is world-frame, so this is a
+    # masked copy — no transform) and the boundary frame seeds like a
+    # REGULAR frame (new_frame_sample_size, render-based update mask)
+    # instead of the 100k+50k re-seed. The iteration cap stays at
+    # new_submap_iterations; the early-stop while_loop exits sooner on the
+    # warm map. Off (= reference protocol, mapper.py:317-334: fresh seeds
+    # every submap) unless both flags below are satisfiable.
+    init_warm_start: bool = False
+    # Fall back to the full re-seed protocol when fewer than this many
+    # gaussians are visible in the boundary frame (sharp turns, new rooms).
+    warm_min_visible: int = 20000
     # 3DGS LRs (reference arguments.py:53-72; xyz schedule barely moves over
     # <=1k submap iters so the initial value is used).
     lr_xyz: float = 1e-4
@@ -1026,6 +1039,42 @@ def optimize_submap(
     """Jitted submap optimization (see `_optimize_core`)."""
     return _optimize_core(state, kfs, n_kf, key, iterations, cam, rcfg, mcfg,
                           mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def warm_visible(params: GaussianParams, alive, w2c, cam: Camera,
+                 min_opacity: float = 0.05, margin_frac: float = 0.05):
+    """Mask of alive gaussians visible in the frame at `w2c`, for the
+    warm-start submap init (MapperConfig.init_warm_start).
+
+    The live state is WORLD-frame (submaps re-anchor only at save time,
+    slam/submap.py), so warm-starting a new submap is `insert(empty, params,
+    warm_visible(...))` — a masked copy, no coordinate transform. Selection:
+    in front of the camera, inside the image with a `margin_frac` border
+    (gaussians straddling the edge still contribute), and effective opacity
+    above `min_opacity` (near-dead gaussians would be re-pruned anyway).
+
+    Replaces the reference's per-submap fresh re-seed
+    (mapper.py:317-334) when the flag is on; its errors relative to the
+    pose chain are exactly the live state's own (LC corrections rewrite
+    poses, not live geometry — optimization re-fits, same as after any
+    mid-submap correction drain)."""
+    xyz_cam = params.xyz @ w2c[:3, :3].T + w2c[:3, 3]
+    z = xyz_cam[:, 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = cam.fx * xyz_cam[:, 0] / zs + cam.cx
+    v = cam.fy * xyz_cam[:, 1] / zs + cam.cy
+    mx = margin_frac * cam.width
+    my = margin_frac * cam.height
+    op = jax.nn.sigmoid(params.opacity_logits[:, 0])
+    vis = (
+        alive
+        & (z > 1e-2)
+        & (u >= -mx) & (u <= cam.width - 1 + mx)
+        & (v >= -my) & (v <= cam.height - 1 + my)
+        & (op >= min_opacity)
+    )
+    return vis, jnp.sum(vis.astype(jnp.int32))
 
 
 @jax.jit
