@@ -725,10 +725,26 @@ def _bwd_rmw_window(grad_hbm, gbuf, rrbuf, wbuf, gacc, rsem, wsem,
                     _wr(b, ci, ws[b] + ci * CHUNK).wait()
         pend_now = jnp.where(safe, pend, 0)
 
+        # Same-tile cross-band retire overlap: two bands retiring the SAME
+        # chunk in one tile must accumulate sequentially (read-add-write,
+        # then the next band re-reads the updated value). The eager-read
+        # pipeline below issues ALL bands' reads before any write, so an
+        # overlapping pair would both read the stale value and the later
+        # write would drop the earlier band's contribution (caught by
+        # scripts/rmw_check.py window on a dense tile=64 scene). Detect the
+        # overlap and take a fully serialized retire for this tile instead.
+        cross = jnp.bool_(False)
+        for i in range(bands):
+            for j in range(i + 1, bands):
+                ov = ((n_ret[i] > 0) & (n_ret[j] > 0)
+                      & (base[i] < base[j] + delta[j])
+                      & (base[j] < base[i] + delta[i]))
+                cross = cross | ov
+
         # Issue retire reads; they overlap the replay compute below.
         for b in range(bands):
             for ci in range(maxc):
-                @pl.when(ci < n_ret[b])
+                @pl.when(~cross & (ci < n_ret[b]))
                 def _(b=b, ci=ci):
                     _rd(b, ci, base[b] + ci * CHUNK).start()
 
@@ -749,12 +765,28 @@ def _bwd_rmw_window(grad_hbm, gbuf, rrbuf, wbuf, gacc, rsem, wsem,
         # Retire: wait reads, add the window's accumulated grads, write.
         for b in range(bands):
             for ci in range(maxc):
-                @pl.when(ci < n_ret[b])
+                @pl.when(~cross & (ci < n_ret[b]))
                 def _(b=b, ci=ci):
                     sl = slice(ci * CHUNK, (ci + 1) * CHUNK)
                     _rd(b, ci, base[b] + ci * CHUNK).wait()
                     wbuf[b, :, sl] = rrbuf[b, :, sl] + gacc[b, :, sl]
                     _wr(b, ci, base[b] + ci * CHUNK).start()
+
+        # Serialized retire for the cross-band-overlap tile: each chunk's
+        # write completes before the next chunk's read, so overlapping
+        # bands accumulate instead of overwriting. Leaves nothing pending
+        # (prior pending writes were drained above: will_write is true in
+        # every cross tile).
+        for b in range(bands):
+            for ci in range(maxc):
+                @pl.when(cross & (ci < n_ret[b]))
+                def _(b=b, ci=ci):
+                    sl = slice(ci * CHUNK, (ci + 1) * CHUNK)
+                    _rd(b, ci, base[b] + ci * CHUNK).start()
+                    _rd(b, ci, base[b] + ci * CHUNK).wait()
+                    wbuf[b, :, sl] = rrbuf[b, :, sl] + gacc[b, :, sl]
+                    _wr(b, ci, base[b] + ci * CHUNK).start()
+                    _wr(b, ci, base[b] + ci * CHUNK).wait()
 
         # Shift each band's window left by delta (in-place ascending chunk
         # copy: src index >= dst + CHUNK whenever delta > 0, and the zero
@@ -774,14 +806,21 @@ def _bwd_rmw_window(grad_hbm, gbuf, rrbuf, wbuf, gacc, rsem, wsem,
                     gacc[b, :, 0:seg_cap]
                     + gbuf[:, b * seg_cap:(b + 1) * seg_cap])
 
-        new_pend = jnp.where(will_write, 1, pend_now).astype(jnp.int32)
+        # A cross (serialized) tile completes its writes in-tile: nothing
+        # pends into the next tile (waiting those semaphores again would
+        # deadlock).
+        wl = will_write & ~cross
+        new_pend = jnp.where(
+            wl, 1, jnp.where(cross, 0, pend_now)).astype(jnp.int32)
         new_base = [jnp.where(is_live, als[b], base[b]) for b in range(bands)]
         new_pdn = [
-            jnp.where(will_write, n_ret[b], jnp.where(pend_now == 1, pdn[b], 0))
+            jnp.where(wl, n_ret[b],
+                      jnp.where(cross, 0,
+                                jnp.where(pend_now == 1, pdn[b], 0)))
             for b in range(bands)
         ]
         new_ws = [
-            jnp.where(will_write, base[b], ws[b]) for b in range(bands)
+            jnp.where(wl, base[b], ws[b]) for b in range(bands)
         ]
         return (new_pend,) + tuple(new_base) + tuple(new_pdn) + tuple(new_ws)
 

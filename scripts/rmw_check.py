@@ -104,11 +104,16 @@ def window():
     rmw_window timings are garbage. Scenes: dense (disjoint band windows,
     steady monotone advance), sparse (overlapping windows, zero-delta
     tiles), and the sweep's big-tile shape (tile=64, seg_cap=2048)."""
+    small = bool(os.environ.get("EAGS_RMWCHECK_SMALL"))  # CPU smoke only
     cases = [
-        ("dense32", dict(n=20000, h=256, w=480, seed=0), {}),
-        ("sparse32", dict(n=1536, h=256, w=480, seed=1), {}),
-        ("dense64", dict(n=20000, h=256, w=480, seed=2),
-         dict(tile=64, dup_side=2, group=4, seg_cap=2048)),
+        ("dense32", dict(n=4096 if small else 20000, h=128 if small else 256,
+                         w=256 if small else 480, seed=0), {}),
+        ("sparse32", dict(n=768 if small else 1536, h=128 if small else 256,
+                          w=256 if small else 480, seed=1), {}),
+        ("dense64", dict(n=4096 if small else 20000, h=128 if small else 256,
+                         w=256 if small else 480, seed=2),
+         dict(tile=64, dup_side=2, group=4,
+              seg_cap=1024 if small else 2048)),
     ]
     worst = 0.0
     for name, sc, over in cases:

@@ -296,6 +296,46 @@ def test_window_rmw_edge_paths_match_legacy(rng):
                                    err_msg=f"{tag}[{i}]")
 
 
+def test_window_rmw_cross_band_retire(rng):
+    """Regression: two bands of the SAME tile retiring overlapping chunks
+    in one tile (dense big-tile scene with short band segments). The eager
+    read pipeline would hand both bands the stale HBM value and the later
+    write dropped the earlier band's contribution — caught on a tile=64
+    scene by scripts/rmw_check.py window; the serialized-retire path now
+    handles it. Grads must match the legacy full-window rmw."""
+    cam = Camera(fx=300.0, fy=300.0, cx=127.5, cy=63.5, width=256, height=128)
+    n = 2048
+    means = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.2, 1.2, n),
+         rng.uniform(0.5, 5, n)], axis=-1).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    args = tuple(jnp.asarray(x) for x in (
+        means, quats,
+        np.log(rng.uniform(0.01, 0.05, (n, 3))).astype(np.float32),
+        rng.uniform(0.5, 3.0, (n, 1)).astype(np.float32),
+        rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        np.eye(4, dtype=np.float32),
+    ))
+    cfg = RasterConfig(tile=64, dup_side=2, group=4, backend="sorted",
+                       seg_cap=1024, bands=3)
+
+    def loss(c):
+        def f(means, ls, op):
+            o = render(means, args[1], ls, op, args[4], args[5], cam, c)
+            return jnp.mean(jnp.abs(o.color)) + 0.1 * jnp.mean(o.depth)
+        return f
+
+    g0 = jax.grad(loss(cfg), argnums=(0, 1, 2))(args[0], args[2], args[3])
+    g1 = jax.grad(loss(cfg._replace(rmw_window=True)),
+                  argnums=(0, 1, 2))(args[0], args[2], args[3])
+    for i, (a, b) in enumerate(zip(g0, g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale + 1e-8,
+                                   err_msg=f"cross_band[{i}]")
+
+
 def test_bf16_layout_roundtrip(rng):
     """hi/lo bf16 packing reconstructs u/v/depth to ~2^-16 relative and the
     single-bf16 rows to ~2^-8 (to_bf16_layout contract)."""
