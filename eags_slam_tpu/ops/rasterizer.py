@@ -70,6 +70,39 @@ class RasterConfig(NamedTuple):
     rmw_window: bool = False  # sorted bwd: retire-on-advance windowed rmw
 
 
+def apply_rcfg_env(cfg: "RasterConfig") -> "RasterConfig":
+    """Return cfg with `EAGS_RCFG` comma-separated overrides applied
+    (e.g. EAGS_RCFG="tile=64,seg_cap=2048,group=4,dup_side=2").
+
+    Keys map 1:1 onto RasterConfig fields; ints/floats/bools parse by the
+    field's current type, unknown keys raise (typo protection). Lets a
+    bench/sweep run A/B kernel-shape knobs without config edits — used by
+    scripts/map_bench.py and GaussianSLAM (so a full bench can run a
+    seg_sweep winner directly)."""
+    import os
+
+    spec = os.environ.get("EAGS_RCFG", "").strip()
+    if not spec:
+        return cfg
+    kv = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in cfg._fields:
+            raise KeyError(f"EAGS_RCFG: unknown RasterConfig field {k!r}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            kv[k] = v.strip().lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            kv[k] = int(v)
+        elif isinstance(cur, float):
+            kv[k] = float(v)
+        else:
+            kv[k] = v.strip()
+    print(f"EAGS_RCFG overrides: {kv}")
+    return cfg._replace(**kv)
+
+
 class RenderOutput(NamedTuple):
     color: jnp.ndarray   # (H, W, 3)
     depth: jnp.ndarray   # (H, W)

@@ -94,6 +94,11 @@ class GaussianSLAM:
             rmw_window=bool(int(os.environ.get(
                 "EAGS_RMW_WINDOW", int(bool(mc.get("rmw_window", False)))))),
         )
+        # EAGS_RCFG="tile=64,seg_cap=2048,..." A/B's kernel-shape knobs
+        # (e.g. a seg_sweep winner) on a full run without config edits.
+        from ..ops.rasterizer import apply_rcfg_env
+
+        self.rcfg = apply_rcfg_env(self.rcfg)
         self.mcfg = M.MapperConfig(
             iterations=int(mc["iterations"]),
             new_submap_iterations=int(mc["new_submap_iterations"]),
