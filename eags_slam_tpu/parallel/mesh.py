@@ -363,6 +363,150 @@ def dpsp_map_step(mesh: Mesh, cam: Camera, rcfg: RasterConfig,
                                        tmask=tmask_all)
 
 
+def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
+    """Tile-sharded (sp) tracking refinement over a device mesh.
+
+    Tracking is the LATENCY-critical dispatch (one pose per frame, ~60
+    sequential iterations — reference tracker.py:258-327), so unlike
+    mapping it cannot scale by throughput; sp divides the per-iteration
+    kernel work instead. Each device renders its slice of the frozen-sorted
+    tile grid (`render_frozen_sorted_tiles`), the masked tracking-loss
+    numerators/denominators `psum` over ICI, the outlier-depth median's
+    1/16 pixel subsample is `all_gather`'d (~a few hundred KB — sub-ms on
+    ICI) so the median is the exact global one, and the pose cotangent is
+    `pmean`'d through a custom_vjp identity hook — so `tracker._refine`
+    (plateau LR, early stop, best-iterate selection) runs UNMODIFIED and
+    bit-identically replicated inside shard_map.
+
+    Goes beyond the reference's parallelism inventory: its dual-GPU layout
+    (SURVEY §2.4 P4) never shards tracking. Gradient/trajectory exactness
+    vs the single-device tile-subset tracker path is asserted in
+    tests/test_parallel.py.
+
+    Returns `refine(params, alive, init_rel, last_w2c, gt_color, gt_depth,
+    exposure0, num_iters) -> (rel 4x4, exposure (2,), stats_vec)` (jitted).
+    Pad tiles (tile grid not divisible by the mesh) carry zero loss weight;
+    their zero depth-err samples enter the median subsample exactly like
+    the single-device full-grid subset path's would.
+    """
+    from ..ops.rasterizer import (FrozenSorted, freeze_sorted,
+                                  render_frozen_sorted_tiles)
+    from ..slam.tracker import PoseParams, _refine, _rel_matrix
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    ts = rcfg.tile
+    tiles_x = -(-cam.width // ts)
+    tiles_y = -(-cam.height // ts)
+    n_tiles = tiles_x * tiles_y
+    s_pad = -(-n_tiles // n_dev) * n_dev
+    tile_ids_all = jnp.concatenate([
+        jnp.arange(n_tiles, dtype=jnp.int32),
+        jnp.zeros((s_pad - n_tiles,), jnp.int32),
+    ])
+    treal_all = jnp.arange(s_pad) < n_tiles
+
+    def _in_image(tile_ids):
+        tx0 = (tile_ids % tiles_x) * ts
+        ty0 = (tile_ids // tiles_x) * ts
+        uu = tx0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[None, None]
+        vv = ty0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[..., None]
+        return (uu < cam.width) & (vv < cam.height)
+
+    @jax.custom_vjp
+    def _pmean_grad(pose):
+        # Identity forward; pmean cotangent. A replicated input feeding
+        # psum'd per-device terms gets a D-scaled partition share back
+        # through shard_map's psum transpose (see sp_map_step) — the pmean
+        # here reconstructs the exact replicated gradient so the optimizer
+        # state inside _refine stays identical on every device.
+        return pose
+
+    def _pg_fwd(pose):
+        return pose, None
+
+    def _pg_bwd(_, g):
+        return (jax.tree.map(lambda t: jax.lax.pmean(t, axis), g),)
+
+    _pmean_grad.defvjp(_pg_fwd, _pg_bwd)
+
+    def _sp_losses(out, pose, gt_c, gt_d, valid):
+        """tracker._losses_from_output with psum'd reductions (same math,
+        tracker.py:99-154; reference compute_losses tracker.py:69-128)."""
+        image = out.color
+        if tcfg.enable_exposure:
+            image = jnp.clip(
+                jnp.exp(pose.exposure[0]) * image + pose.exposure[1], 0.0, 1.0)
+        depth_mask = (gt_d > 0.0) & valid
+        tracking_mask = depth_mask
+        if tcfg.filter_alpha:
+            tracking_mask = tracking_mask & (out.alpha > tcfg.alpha_thre)
+        if tcfg.filter_outlier_depth:
+            depth_err = jnp.abs(out.depth - gt_d) * depth_mask
+            sub = depth_err[..., ::4, ::4]
+            med = jnp.median(jax.lax.all_gather(sub, axis))
+            tracking_mask = tracking_mask & jnp.where(
+                med > 0, depth_err < 50.0 * med, True)
+        color_px = (jnp.abs(image - gt_c) + 1e-8) * valid[..., None]
+        depth_px = (jnp.abs(out.depth - gt_d) + 1e-8) * tracking_mask
+        if tcfg.soft_alpha:
+            a3 = out.alpha**3
+            color_px = color_px * a3[..., None]
+            depth_px = depth_px * a3
+            if tcfg.mask_invalid_depth:
+                color_px = color_px * tracking_mask[..., None]
+        else:
+            color_px = color_px * tracking_mask[..., None]
+        n_color = jax.lax.psum(jnp.sum(color_px > 0), axis)
+        n_depth = jax.lax.psum(jnp.sum(depth_px > 0), axis)
+        csum = jax.lax.psum(jnp.sum(color_px), axis)
+        dsum = jax.lax.psum(jnp.sum(depth_px), axis)
+        cl = jnp.where(n_color > 0, csum / jnp.maximum(n_color, 1), jnp.inf)
+        dl = jnp.where(n_depth > 0, dsum / jnp.maximum(n_depth, 1), jnp.inf)
+        return cl, dl
+
+    def _local_run(e3d, seg_start, seg_cnt, gt_c_t, gt_d_t, valid_t,
+                   tile_ids, init_rel, last_w2c, exposure0, num_iters):
+        fs = FrozenSorted(e3d, seg_start, seg_cnt)
+
+        def loss_fn(pose: PoseParams):
+            pose = _pmean_grad(pose)
+            out = render_frozen_sorted_tiles(
+                fs, last_w2c @ _rel_matrix(pose), tile_ids, cam, rcfg)
+            cl, dl = _sp_losses(out, pose, gt_c_t, gt_d_t, valid_t)
+            return (tcfg.w_color_loss * cl
+                    + (1 - tcfg.w_color_loss) * dl, (cl, dl))
+
+        rel, exposure, stats_vec, _, _ = _refine(
+            loss_fn, init_rel, num_iters, exposure0, tcfg)
+        return rel, exposure, stats_vec
+
+    run = shard_map(
+        _local_run,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def refine(params, alive, init_rel, last_w2c, gt_color, gt_depth,
+               exposure0, num_iters):
+        colors = sh_to_rgb(params.f_dc)
+        fs = freeze_sorted(params.xyz, params.quats, params.log_scales,
+                           params.opacity_logits, colors,
+                           last_w2c @ init_rel, cam, rcfg, alive=alive)
+        gt_c_t = gt_tiles(gt_color, tile_ids_all, ts, tiles_x, tiles_y)
+        gt_d_t = gt_tiles(gt_depth, tile_ids_all, ts, tiles_x, tiles_y)
+        valid_t = _in_image(tile_ids_all) & treal_all[:, None, None]
+        return run(fs.e3d, fs.seg_start, fs.seg_cnt, gt_c_t, gt_d_t, valid_t,
+                   tile_ids_all, init_rel, last_w2c, exposure0,
+                   jnp.asarray(num_iters, jnp.int32))
+
+    return refine, dict(n_tiles=n_tiles, s_pad=s_pad)
+
+
 def lc_submesh(mesh: Mesh, n_lc_devices: int = 2) -> Mesh:
     """Carve an LC slice off the mesh (the `lc.device: 1` equivalent)."""
     devs = list(mesh.devices.flat)

@@ -227,6 +227,93 @@ def test_dpsp_map_step_matches_single_device():
             rtol=2e-3, atol=1e-6, err_msg=name)
 
 
+def test_sp_track_refine_matches_single_device():
+    """Tile-sharded tracking refinement (parallel.mesh.sp_track_refine):
+    the full pose TRAJECTORY (while_loop with plateau LR + early stop +
+    best-iterate selection) must match the single-device tracker running
+    the same full-tile-grid subset loss — the psum'd loss, the all_gather'd
+    outlier median and the pmean'd pose cotangent reproduce the exact
+    single-chip math. 24 tiles over 8 devices (3/device, no pad tiles so
+    the reference's subset path is directly comparable)."""
+    import jax.numpy as jnp
+
+    from eags_slam_tpu.core import gaussians as G
+    from eags_slam_tpu.core.camera import Camera
+    from eags_slam_tpu.core.sh import sh_to_rgb
+    from eags_slam_tpu.ops.rasterizer import RasterConfig, gt_tiles
+    from eags_slam_tpu.parallel.mesh import make_mesh, sp_track_refine
+    from eags_slam_tpu.slam import tracker as T
+
+    h, w = 64, 96
+    cam = Camera(fx=80.0, fy=80.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
+                 width=w, height=h)
+    rcfg = RasterConfig(tile=16, dup_side=4, chunk=16, backend="sorted",
+                        seg_cap=128, bands=3, group=2)
+    tcfg = T.TrackerConfig(iterations=15, enable_exposure=True,
+                           frozen_binning=True, tile_subset_frac=0.0,
+                           early_stop_cnt=50)
+    rng = np.random.default_rng(11)
+
+    n = 200
+    xyz = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n),
+         rng.uniform(1.2, 3.0, n)], -1).astype(np.float32)
+    rows = G.point_rows(
+        jnp.asarray(xyz),
+        jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)),
+        jnp.full((n,), 0.05), jnp.full((n,), 0.85),
+    )
+    state = G.empty_state(256)
+    state, _ = G.insert(state, rows, jnp.ones(n, bool))
+    params, alive = state.params, state.alive
+
+    # GT frame rendered at identity; track from a slightly-off init pose.
+    from eags_slam_tpu.ops.rasterizer import render
+    colors = sh_to_rgb(params.f_dc)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, colors, jnp.eye(4), cam, rcfg,
+                 alive=alive)
+    gt_color, gt_depth = out.color, out.depth
+    last_w2c = jnp.eye(4)
+    init_rel = jnp.asarray(np.array([
+        [1, 0, 0, 0.01], [0, 1, 0, -0.008], [0, 0, 1, 0.012], [0, 0, 0, 1],
+    ], np.float32))
+    exp0 = jnp.zeros(2)
+    iters = jnp.asarray(15, jnp.int32)
+
+    mesh = make_mesh(8)
+    refine_sp, aux = sp_track_refine(mesh, cam, rcfg, tcfg)
+    assert aux["s_pad"] == aux["n_tiles"] == 24  # no pad tiles
+    rel_sp, exp_sp, stats_sp = refine_sp(params, alive, init_rel, last_w2c,
+                                         gt_color, gt_depth, exp0, iters)
+
+    # Single-device reference: the tracker's own subset path over the FULL
+    # tile grid (identical tile stack, identical loss + refinement loop).
+    ts = rcfg.tile
+    tiles_x, tiles_y = w // ts, h // ts
+    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    gt_c_t = gt_tiles(gt_color, tile_ids, ts, tiles_x, tiles_y)
+    gt_d_t = gt_tiles(gt_depth, tile_ids, ts, tiles_x, tiles_y)
+    in_img = T._in_image_mask(tile_ids, ts, tiles_x, cam)
+    loss_ref = T._make_loss_fn(params, alive, colors, init_rel, last_w2c,
+                               gt_color, gt_depth, cam, rcfg, tcfg,
+                               subset=(tile_ids, gt_c_t, gt_d_t, in_img))
+    rel_ref, exp_ref, stats_ref, _, _ = T._refine(
+        loss_ref, init_rel, iters, exp0, tcfg)
+
+    np.testing.assert_allclose(np.asarray(rel_sp), np.asarray(rel_ref),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(exp_sp), np.asarray(exp_ref),
+                               rtol=0, atol=1e-4)
+    # Final/best loss agrees; the refinement actually improved the pose.
+    np.testing.assert_allclose(np.asarray(stats_sp)[:2],
+                               np.asarray(stats_ref)[:2], rtol=1e-3,
+                               atol=1e-6)
+    err0 = float(jnp.linalg.norm(init_rel[:3, 3]))
+    err1 = float(jnp.linalg.norm(jnp.asarray(rel_sp)[:3, 3]))
+    assert err1 < err0, (err1, err0)
+
+
 def test_lc_submesh():
     from eags_slam_tpu.parallel.mesh import lc_submesh, make_mesh
 
