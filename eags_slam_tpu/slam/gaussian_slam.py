@@ -160,7 +160,6 @@ class GaussianSLAM:
 
         self.logger = Logger(self.output_path, self.verbose,
                              config.get("use_wandb", False))
-        self.tracker = Tracker(self.tcfg, self.rcfg, self.cam)
 
         # Device mesh (SURVEY.md §2.4 P4): with >1 devices, mapping runs
         # data-parallel over keyframes (gradients pmean over ICI) and loop
@@ -184,6 +183,16 @@ class GaussianSLAM:
             from ..parallel.mesh import make_mesh
 
             self.mesh = make_mesh(n_dev)
+
+        # Spatially-parallel tracking (parallel.mesh.sp_track_refine):
+        # shard the refinement's tile grid over the mesh. Opt-in
+        # (tracking.sp_track / EAGS_SP_TRACK) — on a single chip it is pure
+        # collective overhead; on a v5e-8 it divides the latency-critical
+        # per-iteration kernel work.
+        sp_track = bool(int(os.environ.get(
+            "EAGS_SP_TRACK", int(bool(tc.get("sp_track", False))))))
+        self.tracker = Tracker(self.tcfg, self.rcfg, self.cam,
+                               mesh=self.mesh, sp_track=sp_track)
 
         import concurrent.futures
 

@@ -539,7 +539,8 @@ class Tracker:
     tracker.py:181-348): init-candidate selection, adaptive iteration count,
     jitted refinement, loss history for the init_err_ratio heuristic."""
 
-    def __init__(self, tcfg: TrackerConfig, rcfg: RasterConfig, cam: Camera):
+    def __init__(self, tcfg: TrackerConfig, rcfg: RasterConfig, cam: Camera,
+                 mesh=None, sp_track: bool = False):
         self.tcfg = tcfg
         self.rcfg = rcfg
         self.cam = cam
@@ -547,6 +548,16 @@ class Tracker:
         self.frame_depth_loss = []
         self.init_pose_cnt = {"const_speed": 0, "previous": 0, "odometer": 0}
         self.iter_cnt = []
+        # Spatially-parallel refinement over a device mesh (tile grid
+        # sharded, full-grid loss — see parallel.mesh.sp_track_refine).
+        # Candidate scoring + iteration doubling move host-side (two
+        # dispatches instead of the fused one; on real multi-chip the
+        # per-iteration division dominates the extra round trip).
+        self._sp_refine = None
+        if mesh is not None and sp_track:
+            from ..parallel.mesh import sp_track_refine
+
+            self._sp_refine, _ = sp_track_refine(mesh, cam, rcfg, tcfg)
 
     def track(
         self, params, alive, last_c2w, init_candidates: dict,
@@ -575,14 +586,34 @@ class Tracker:
         exp0 = jnp.zeros(2) if exposure0 is None else jnp.asarray(exposure0)
 
         t0 = time.perf_counter()
-        rel, exposure, stats_vec, per_iter = track_frame(
-            params, alive, jnp.asarray(rels),
-            jnp.asarray(last_w2c, dtype=jnp.float32), gt_color, gt_depth,
-            jnp.float32(med_cl), jnp.float32(med_dl), exp0,
-            self.cam, self.rcfg, self.tcfg,
-        )
-        # ONE round trip for everything the host needs this frame.
-        rel, exposure, stats_vec = jax.device_get((rel, exposure, stats_vec))
+        if self._sp_refine is not None:
+            w2c32 = jnp.asarray(last_w2c, dtype=jnp.float32)
+            cand = np.asarray(jax.device_get(eval_init_candidates(
+                params, alive, jnp.asarray(rels), w2c32, gt_color, gt_depth,
+                self.cam, self.rcfg, self.tcfg)))
+            best_i = int(np.argmin(cand[:, 0]))
+            double = (cand[best_i, 1] > self.tcfg.init_err_ratio * med_cl
+                      or cand[best_i, 2] > self.tcfg.init_err_ratio * med_dl)
+            num_iters = (2 if double else 1) * self.tcfg.iterations
+            rel, exposure, sv = self._sp_refine(
+                params, alive, jnp.asarray(rels[best_i]), w2c32, gt_color,
+                gt_depth, exp0, num_iters)
+            rel, exposure, sv = jax.device_get((rel, exposure, sv))
+            stats_vec = np.concatenate([
+                np.asarray(sv),
+                [best_i, cand[best_i, 1], cand[best_i, 2]],
+            ])
+            per_iter = None
+        else:
+            rel, exposure, stats_vec, per_iter = track_frame(
+                params, alive, jnp.asarray(rels),
+                jnp.asarray(last_w2c, dtype=jnp.float32), gt_color, gt_depth,
+                jnp.float32(med_cl), jnp.float32(med_dl), exp0,
+                self.cam, self.rcfg, self.tcfg,
+            )
+            # ONE round trip for everything the host needs this frame.
+            rel, exposure, stats_vec = jax.device_get(
+                (rel, exposure, stats_vec))
         if per_iter is not None:
             self.last_per_iter = np.asarray(per_iter)  # (I, 12), see
             # DEBUG_ITER_NAMES; rows with active == 0 are past the exit.

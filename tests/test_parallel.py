@@ -314,6 +314,42 @@ def test_sp_track_refine_matches_single_device():
     assert err1 < err0, (err1, err0)
 
 
+def test_e2e_sp_tracking(tmp_path):
+    """Full pipeline with tracking.sp_track on (the tracker's refinement
+    runs tile-sharded over the test mesh): the run completes and the
+    trajectory stays within the fresh-protocol e2e bound."""
+    import jax.numpy as jnp  # noqa: F401  (mesh init ordering)
+
+    from eags_slam_tpu.config import load_config
+    from eags_slam_tpu.slam.gaussian_slam import GaussianSLAM
+
+    config = load_config("configs/synthetic/base.yaml")
+    config["use_mesh"] = True  # base.yaml opts out for the CPU e2e tests
+    config["data"]["output_path"] = str(tmp_path / "out")
+    config["data"]["n_frames"] = 8
+    config["cam"].update({"H": 64, "W": 96, "fx": 80.0, "fy": 80.0,
+                          "cx": 47.5, "cy": 31.5})
+    config["mapping"].update({
+        "new_submap_every": 6, "iterations": 40,
+        "new_submap_iterations": 80, "max_gaussians": 8192,
+        "new_submap_points_num": 2000,
+        "new_submap_gradient_points_num": 500,
+        "new_frame_sample_size": 500,
+    })
+    config["tracking"].update({"iterations": 15, "sp_track": True})
+    gslam = GaussianSLAM(config)
+    try:
+        assert gslam.tracker._sp_refine is not None  # mesh + flag wired
+        report = gslam.run()
+    finally:
+        gslam.cleanup()
+    assert report["frames"] == 8
+    gt = np.stack([gslam.dataset.poses[i] for i in range(8)])
+    err = np.linalg.norm(
+        gslam.estimated_c2ws[:, :3, 3] - gt[:, :3, 3], axis=-1)
+    assert err.max() < 0.04, err
+
+
 def test_lc_submesh():
     from eags_slam_tpu.parallel.mesh import lc_submesh, make_mesh
 
