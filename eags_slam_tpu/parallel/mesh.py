@@ -391,7 +391,15 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
     """
     from ..ops.rasterizer import (FrozenSorted, freeze_sorted,
                                   render_frozen_sorted_tiles)
-    from ..slam.tracker import PoseParams, _refine, _rel_matrix
+    from ..slam.tracker import (PoseParams, _in_image_mask, _refine,
+                                _rel_matrix)
+
+    if rcfg.backend not in ("auto", "sorted"):
+        raise ValueError(
+            "sp_track_refine renders via the frozen-sorted tile path; "
+            f"backend must be 'sorted' (or 'auto'), got {rcfg.backend!r}")
+    if not tcfg.frozen_binning:
+        raise ValueError("sp_track_refine requires tcfg.frozen_binning")
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
@@ -405,13 +413,11 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
         jnp.zeros((s_pad - n_tiles,), jnp.int32),
     ])
     treal_all = jnp.arange(s_pad) < n_tiles
-
-    def _in_image(tile_ids):
-        tx0 = (tile_ids % tiles_x) * ts
-        ty0 = (tile_ids // tiles_x) * ts
-        uu = tx0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[None, None]
-        vv = ty0[:, None, None] + jnp.arange(ts, dtype=jnp.int32)[..., None]
-        return (uu < cam.width) & (vv < cam.height)
+    # Static count of REAL-tile median samples (see _sp_losses): every real
+    # tile contributes its full ::4,::4 subsample grid, zeros included,
+    # exactly like the single-device full-grid subset path.
+    m_sub = len(range(0, ts, 4))
+    n_med = n_tiles * m_sub * m_sub
 
     @jax.custom_vjp
     def _pmean_grad(pose):
@@ -430,7 +436,7 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
 
     _pmean_grad.defvjp(_pg_fwd, _pg_bwd)
 
-    def _sp_losses(out, pose, gt_c, gt_d, valid):
+    def _sp_losses(out, pose, gt_c, gt_d, valid, treal):
         """tracker._losses_from_output with psum'd reductions (same math,
         tracker.py:99-154; reference compute_losses tracker.py:69-128)."""
         image = out.color
@@ -443,8 +449,15 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
             tracking_mask = tracking_mask & (out.alpha > tcfg.alpha_thre)
         if tcfg.filter_outlier_depth:
             depth_err = jnp.abs(out.depth - gt_d) * depth_mask
-            sub = depth_err[..., ::4, ::4]
-            med = jnp.median(jax.lax.all_gather(sub, axis))
+            # Median over REAL tiles' subsamples only: pad tiles would
+            # inject fabricated zeros and bias the gate low (or disable it
+            # on small grids). Pads -> +inf, sort, index the middle of the
+            # STATIC n_med real samples — jnp.median semantics over exactly
+            # the sample set the single-device full-grid path sees.
+            sub = jnp.where(treal[:, None, None],
+                            depth_err[..., ::4, ::4], jnp.inf)
+            srt = jnp.sort(jax.lax.all_gather(sub, axis).ravel())
+            med = 0.5 * (srt[(n_med - 1) // 2] + srt[n_med // 2])
             tracking_mask = tracking_mask & jnp.where(
                 med > 0, depth_err < 50.0 * med, True)
         color_px = (jnp.abs(image - gt_c) + 1e-8) * valid[..., None]
@@ -466,14 +479,15 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
         return cl, dl
 
     def _local_run(e3d, seg_start, seg_cnt, gt_c_t, gt_d_t, valid_t,
-                   tile_ids, init_rel, last_w2c, exposure0, num_iters):
+                   treal, tile_ids, init_rel, last_w2c, exposure0,
+                   num_iters):
         fs = FrozenSorted(e3d, seg_start, seg_cnt)
 
         def loss_fn(pose: PoseParams):
             pose = _pmean_grad(pose)
             out = render_frozen_sorted_tiles(
                 fs, last_w2c @ _rel_matrix(pose), tile_ids, cam, rcfg)
-            cl, dl = _sp_losses(out, pose, gt_c_t, gt_d_t, valid_t)
+            cl, dl = _sp_losses(out, pose, gt_c_t, gt_d_t, valid_t, treal)
             return (tcfg.w_color_loss * cl
                     + (1 - tcfg.w_color_loss) * dl, (cl, dl))
 
@@ -485,7 +499,7 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
         _local_run,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P()),
+                  P(axis), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False,
     )
@@ -499,9 +513,10 @@ def sp_track_refine(mesh: Mesh, cam: Camera, rcfg: RasterConfig, tcfg):
                            last_w2c @ init_rel, cam, rcfg, alive=alive)
         gt_c_t = gt_tiles(gt_color, tile_ids_all, ts, tiles_x, tiles_y)
         gt_d_t = gt_tiles(gt_depth, tile_ids_all, ts, tiles_x, tiles_y)
-        valid_t = _in_image(tile_ids_all) & treal_all[:, None, None]
+        valid_t = (_in_image_mask(tile_ids_all, ts, tiles_x, cam)
+                   & treal_all[:, None, None])
         return run(fs.e3d, fs.seg_start, fs.seg_cnt, gt_c_t, gt_d_t, valid_t,
-                   tile_ids_all, init_rel, last_w2c, exposure0,
+                   treal_all, tile_ids_all, init_rel, last_w2c, exposure0,
                    jnp.asarray(num_iters, jnp.int32))
 
     return refine, dict(n_tiles=n_tiles, s_pad=s_pad)

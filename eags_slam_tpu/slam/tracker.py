@@ -557,6 +557,12 @@ class Tracker:
         if mesh is not None and sp_track:
             from ..parallel.mesh import sp_track_refine
 
+            if tcfg.debug_per_iter:
+                import warnings
+
+                warnings.warn("sp_track drops debug_per_iter records "
+                              "(per-iteration diagnostics stay on the "
+                              "single-device path)")
             self._sp_refine, _ = sp_track_refine(mesh, cam, rcfg, tcfg)
 
     def track(

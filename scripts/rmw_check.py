@@ -104,7 +104,8 @@ def window():
     rmw_window timings are garbage. Scenes: dense (disjoint band windows,
     steady monotone advance), sparse (overlapping windows, zero-delta
     tiles), and the sweep's big-tile shape (tile=64, seg_cap=2048)."""
-    small = bool(os.environ.get("EAGS_RMWCHECK_SMALL"))  # CPU smoke only
+    # CPU smoke only (=1 enables; the full-size scenes are the real gate).
+    small = bool(int(os.environ.get("EAGS_RMWCHECK_SMALL", "0") or 0))
     cases = [
         ("dense32", dict(n=4096 if small else 20000, h=128 if small else 256,
                          w=256 if small else 480, seed=0), {}),

@@ -314,6 +314,76 @@ def test_sp_track_refine_matches_single_device():
     assert err1 < err0, (err1, err0)
 
 
+def test_sp_track_refine_padded_grid_matches_single_device():
+    """Same trajectory parity with a tile grid NOT divisible by the mesh
+    (20 real tiles + 4 pads on 8 devices): pad tiles must contribute
+    nothing — zero loss weight AND no fabricated zero samples in the
+    outlier-depth median (the regression this test pins: a plain gathered
+    median over padded subsamples biases the 50x gate low)."""
+    import jax.numpy as jnp
+
+    from eags_slam_tpu.core import gaussians as G
+    from eags_slam_tpu.core.camera import Camera
+    from eags_slam_tpu.core.sh import sh_to_rgb
+    from eags_slam_tpu.ops.rasterizer import (RasterConfig, gt_tiles,
+                                              render)
+    from eags_slam_tpu.parallel.mesh import make_mesh, sp_track_refine
+    from eags_slam_tpu.slam import tracker as T
+
+    h, w = 64, 80  # 5x4 = 20 tiles at ts=16 -> s_pad 24, 4 pad tiles
+    cam = Camera(fx=80.0, fy=80.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
+                 width=w, height=h)
+    rcfg = RasterConfig(tile=16, dup_side=4, chunk=16, backend="sorted",
+                        seg_cap=128, bands=3, group=2)
+    tcfg = T.TrackerConfig(iterations=12, enable_exposure=True,
+                           tile_subset_frac=0.0, early_stop_cnt=50)
+    rng = np.random.default_rng(23)
+    n = 180
+    xyz = np.stack(
+        [rng.uniform(-0.8, 0.8, n), rng.uniform(-0.6, 0.6, n),
+         rng.uniform(1.2, 3.0, n)], -1).astype(np.float32)
+    rows = G.point_rows(
+        jnp.asarray(xyz),
+        jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)),
+        jnp.full((n,), 0.05), jnp.full((n,), 0.85),
+    )
+    state, _ = G.insert(G.empty_state(256), rows, jnp.ones(n, bool))
+    params, alive = state.params, state.alive
+    colors = sh_to_rgb(params.f_dc)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, colors, jnp.eye(4), cam, rcfg,
+                 alive=alive)
+    gt_color, gt_depth = out.color, out.depth
+    init_rel = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(0.012)
+    iters = jnp.asarray(12, jnp.int32)
+
+    refine_sp, aux = sp_track_refine(make_mesh(8), cam, rcfg, tcfg)
+    assert aux["n_tiles"] == 20 and aux["s_pad"] == 24
+    rel_sp, exp_sp, stats_sp = refine_sp(
+        params, alive, init_rel, jnp.eye(4), gt_color, gt_depth,
+        jnp.zeros(2), iters)
+
+    # Single-device reference over the REAL tiles only.
+    ts = rcfg.tile
+    tiles_x = w // ts
+    tile_ids = jnp.arange(20, dtype=jnp.int32)
+    subset = (tile_ids,
+              gt_tiles(gt_color, tile_ids, ts, tiles_x, h // ts),
+              gt_tiles(gt_depth, tile_ids, ts, tiles_x, h // ts),
+              T._in_image_mask(tile_ids, ts, tiles_x, cam))
+    loss_ref = T._make_loss_fn(params, alive, colors, init_rel, jnp.eye(4),
+                               gt_color, gt_depth, cam, rcfg, tcfg,
+                               subset=subset)
+    rel_ref, exp_ref, stats_ref, _, _ = T._refine(
+        loss_ref, init_rel, iters, jnp.zeros(2), tcfg)
+
+    np.testing.assert_allclose(np.asarray(rel_sp), np.asarray(rel_ref),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats_sp)[:2],
+                               np.asarray(stats_ref)[:2], rtol=1e-3,
+                               atol=1e-6)
+
+
 def test_e2e_sp_tracking(tmp_path):
     """Full pipeline with tracking.sp_track on (the tracker's refinement
     runs tile-sharded over the test mesh): the run completes and the
