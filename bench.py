@@ -163,6 +163,10 @@ def _evaluate(gslam, config, out):
     rend = ev.run_rendering_eval()
     q = {
         "ate_rmse_cm": 100.0 * float(traj["ate_aligned"]["rmse"]),
+        "rpe_trans_cm": 100.0 * float(
+            traj.get("rpe", {}).get("rpe_trans_rmse", float("nan"))),
+        "rpe_rot_deg": float(
+            traj.get("rpe", {}).get("rpe_rot_rmse_deg", float("nan"))),
         "psnr_db": float(rend["mean_psnr"]),
         "ssim": float(rend["mean_ssim"]),
         "ms_ssim": rend.get("mean_ms_ssim"),
@@ -212,6 +216,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(report["fps"] / BASELINE_FPS, 3),
                 "ate_cm": round(q.get("ate_rmse_cm", float("nan")), 3),
+                "rpe_cm": round(q.get("rpe_trans_cm", float("nan")), 3),
                 "psnr_db": round(q.get("psnr_db", float("nan")), 2),
                 "ssim": round(q.get("ssim", float("nan")), 3),
                 "ms_ssim": (round(q["ms_ssim"], 3)
