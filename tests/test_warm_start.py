@@ -77,6 +77,51 @@ def test_warm_rows_insert_roundtrip():
 
 
 @pytest.mark.slow
+def test_warm_start_with_lc(tmp_path):
+    """Warm-started submaps share geometry with their predecessor; the LC
+    pipeline (detection, registration, PGO, correction drain, T_prev_m
+    rewrite) must behave on such a chain: closures detected on the revisit
+    orbit, corrections tiny under gt tracking + identity registration."""
+    config = load_config("configs/synthetic/base.yaml")
+    config["data"].update({
+        "output_path": str(tmp_path / "out"),
+        "n_frames": 18,
+        "orbit_speed": 1.0 / 18.0,
+    })
+    config["cam"].update({"H": 64, "W": 96, "fx": 80.0, "fy": 80.0,
+                          "cx": 47.5, "cy": 31.5})
+    config["mapping"].update({
+        "new_submap_every": 6, "iterations": 10,
+        "new_submap_iterations": 15, "max_gaussians": 8192,
+        "new_submap_points_num": 1500,
+        "new_submap_gradient_points_num": 300,
+        "new_frame_sample_size": 300,
+        "submap_using_motion_heuristic": False,
+        "init_warm_start": True, "warm_min_visible": 64,
+    })
+    config["tracking"]["gt_camera"] = True
+    config["lc"] = {
+        "enabled": True, "parallel": False, "min_interval": 2,
+        "min_similarity": 0.5, "registration": "identity", "final": True,
+        "capacity": 8192,
+    }
+    gslam = GaussianSLAM(config)
+    try:
+        gslam.run()
+    finally:
+        gslam.cleanup()
+    assert gslam._warm_inited                    # warm path exercised
+    lc = gslam.loop_closer
+    assert lc is not None and len(lc.infos) >= 3
+    assert lc.n_closures >= 1
+    gt = np.stack([gslam.dataset.poses[i]
+                   for i in range(len(gslam.dataset))])
+    err = np.linalg.norm(
+        gslam.estimated_c2ws[:, :3, 3] - gt[:, :3, 3], axis=-1)
+    assert err.max() < 1e-3, err.max()
+
+
+@pytest.mark.slow
 def test_warm_start_e2e(tmp_path):
     """Full tiny run with warm-start inits on: boundaries take the warm
     path, trajectory/rendering stay within the fresh-protocol test bounds
