@@ -144,6 +144,10 @@ class GaussianSLAM:
             mask_invalid_depth=bool(tc.get("mask_invalid_depth", False)),
             early_stop_thre=float(tc.get("early_stop_thre", 5.0e-5)),
             early_stop_cnt=int(tc["early_stop_cnt"]),
+            # EAGS_STALE_BEST lets a bench run A/B the stale-best stop
+            # without config edits (0 = off = reference full budget).
+            stale_best_cnt=int(os.environ.get(
+                "EAGS_STALE_BEST", tc.get("stale_best_cnt", 0))),
             # ReduceLROnPlateau parity (reference gaussian_model.py:382-383
             # + configs scheduler_factor/patience 0.95/5).
             plateau_patience=int(tc.get("scheduler_patience", 5)),

@@ -48,6 +48,10 @@ class TrackerConfig(NamedTuple):
     mask_invalid_depth: bool = False
     early_stop_thre: float = 1e-6
     early_stop_cnt: int = 10
+    # Stop when the BEST iterate hasn't improved for this many iterations
+    # (the loop returns the best pose, so this rarely changes the result —
+    # see _refine). 0 disables (reference protocol: full budget).
+    stale_best_cnt: int = 0
     # Freeze tile binning at the init pose for the whole refinement loop
     # (pallas backend): per-iteration cost drops from sort+scatter+gather+
     # kernel to elementwise reprojection + kernel (see PERF.md / rasterizer
@@ -290,6 +294,16 @@ def _refine(loss_fn, init_rel, num_iters, exposure0, tcfg: TrackerConfig,
         flat = jnp.abs(total - c.prev_loss) < tcfg.early_stop_thre
         break_cnt = jnp.where(flat, c.break_cnt + 1, 0)
         done = break_cnt > tcfg.early_stop_cnt
+        if tcfg.stale_best_cnt > 0:
+            # Stale-best stop: the refinement RETURNS the best iterate, so
+            # once the best hasn't improved for K iterations, further
+            # iterations can only change the result if a late improvement
+            # arrives — cheap compute cut with a bounded effect on the
+            # returned pose (the |delta| counter above never fires at bench
+            # motion: 58.3/60 iters avg, PERF.md run 7). Protocol knob,
+            # default off (reference runs its full budget, tracker.py:
+            # 264-277).
+            done = done | (c.it - c.best_it > tcfg.stale_best_cnt)
 
         lr = optim.PlateauState(*c.plateau).lr_scale
         lr_tree = PoseParams(

@@ -67,6 +67,46 @@ def test_refine_pose_recovers_perturbation(rng):
     assert int(stats[3]) > 0  # iters (tracker.STAT_NAMES)
 
 
+def test_stale_best_stop(rng):
+    """TrackerConfig.stale_best_cnt: a huge value is a no-op (identical
+    trajectory to off); a small value exits early while returning a pose
+    whose quality stays close to the full-budget best (the loop returns
+    the BEST iterate, so stopping on a stale best is near-lossless)."""
+    params, alive = _scene(rng)
+    w2c_true = np.eye(4, dtype=np.float32)
+    out = render(params.xyz, params.quats, params.log_scales,
+                 params.opacity_logits, sh_to_rgb(params.f_dc),
+                 jnp.asarray(w2c_true), CAM, RCFG, alive=alive)
+    gt_color = out.color
+    gt_depth = jnp.where(out.alpha > 0.5,
+                         out.depth / jnp.maximum(out.alpha, 1e-6), 0.0)
+    tau = np.array([0.008, -0.006, 0.005, 0.004, -0.006, 0.004], np.float32)
+    rel_init = np.asarray(se3_exp(jnp.asarray(tau)))
+
+    def run(tcfg):
+        rel, _, stats = refine_pose(
+            params, alive, jnp.asarray(rel_init), jnp.asarray(w2c_true),
+            gt_color, gt_depth, jnp.asarray(60, jnp.int32), jnp.zeros(2),
+            CAM, RCFG, tcfg,
+        )
+        return np.asarray(rel), np.asarray(stats)
+
+    rel_off, st_off = run(TCFG)
+    rel_noop, st_noop = run(TCFG._replace(stale_best_cnt=10**6))
+    np.testing.assert_allclose(rel_noop, rel_off, atol=0)
+    assert st_noop[3] == st_off[3]  # same iteration count
+
+    rel_s, st_s = run(TCFG._replace(stale_best_cnt=8))
+    assert st_s[3] <= st_off[3]
+    # The early-stopped pose is the best iterate at stop time: within 2x of
+    # the full-budget translation error (both tiny).
+    t_full = np.linalg.norm(rel_off[:3, 3])
+    t_stop = np.linalg.norm(rel_s[:3, 3])
+    init_t = np.linalg.norm(rel_init[:3, 3])
+    assert t_stop < 0.5 * init_t, (t_stop, init_t)
+    assert t_stop < max(2.0 * t_full, 0.002), (t_stop, t_full)
+
+
 def test_track_frame_tile_subset_reduces_pose_error(rng):
     """Fused track_frame on the sorted backend with tile-subset refinement:
     candidate selection picks the better init and the subset loss still
