@@ -336,6 +336,49 @@ def test_window_rmw_cross_band_retire(rng):
                                    err_msg=f"cross_band[{i}]")
 
 
+def test_window_rmw_fuzz(rng):
+    """Seeded fuzz of the windowed bwd rmw against the legacy path across
+    randomized density / seg_cap / tile-id schedules — regimes the three
+    targeted edge tests don't enumerate (mixed advance sizes, repeated and
+    shuffled tiles, band windows that interleave all three hazard classes:
+    backward jumps, pending-write collisions, same-tile cross-band
+    retires)."""
+    from eags_slam_tpu.ops.rasterizer import render_tiles
+
+    cases = [
+        dict(n=24, seg_cap=128, shuffle=True),    # sparse, maxc=1
+        dict(n=300, seg_cap=128, shuffle=True),   # overfull, jumping ids
+        dict(n=300, seg_cap=256, shuffle=False),  # monotone dense
+        dict(n=96, seg_cap=256, shuffle=True),    # mid density, jumps
+    ]
+    for ci, case in enumerate(cases):
+        args = make_scene(rng, n=case["n"])
+        num_tiles = (-(-CAM.width // 16)) * (-(-CAM.height // 16))
+        ids = rng.permutation(num_tiles) if case["shuffle"] else np.arange(
+            num_tiles)
+        # Repeat a tile mid-sequence: zero-delta windows + re-retire.
+        ids = np.concatenate([ids[:3], ids[2:3], ids[3:]])
+        tids = jnp.asarray(ids, jnp.int32)
+        cfg0 = CFG_S._replace(seg_cap=case["seg_cap"])
+
+        def loss(cfg, tids=tids, args=args):
+            def f(means, ls, op):
+                o = render_tiles(means, args[1], ls, op, args[4], args[5],
+                                 tids, CAM, cfg)
+                return jnp.mean(jnp.abs(o.color)) + 0.1 * jnp.mean(o.depth)
+            return f
+
+        g0 = jax.grad(loss(cfg0), argnums=(0, 1, 2))(args[0], args[2],
+                                                     args[3])
+        g1 = jax.grad(loss(cfg0._replace(rmw_window=True)),
+                      argnums=(0, 1, 2))(args[0], args[2], args[3])
+        for i, (a, b) in enumerate(zip(g0, g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-9)
+            np.testing.assert_allclose(b, a, atol=2e-5 * scale + 1e-8,
+                                       err_msg=f"case{ci}[{i}]")
+
+
 def test_bf16_layout_roundtrip(rng):
     """hi/lo bf16 packing reconstructs u/v/depth to ~2^-16 relative and the
     single-bf16 rows to ~2^-8 (to_bf16_layout contract)."""
