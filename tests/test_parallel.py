@@ -313,6 +313,14 @@ def test_sp_track_refine_matches_single_device():
     err1 = float(jnp.linalg.norm(jnp.asarray(rel_sp)[:3, 3]))
     assert err1 < err0, (err1, err0)
 
+    # Degenerate mesh of 1 (the single-chip EAGS_BENCH_MESH+EAGS_SP_TRACK
+    # path): collectives are identities, trajectory matches too.
+    refine_1, _ = sp_track_refine(make_mesh(1), cam, rcfg, tcfg)
+    rel_1, _, stats_1 = refine_1(params, alive, init_rel, last_w2c,
+                                 gt_color, gt_depth, exp0, iters)
+    np.testing.assert_allclose(np.asarray(rel_1), np.asarray(rel_ref),
+                               rtol=0, atol=1e-4)
+
 
 def test_sp_track_refine_padded_grid_matches_single_device():
     """Same trajectory parity with a tile grid NOT divisible by the mesh
