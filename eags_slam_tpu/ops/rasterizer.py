@@ -991,15 +991,7 @@ def freeze_sorted(
 
 def _frozen_sorted_attrs(fs: FrozenSorted, w2c, cam: Camera,
                          cfg: RasterConfig) -> jnp.ndarray:
-    from .rasterizer_pallas import NCH
-
-    rows = _reproject_rows(fs.e3d, w2c, cam, cfg,
-                           radius_cap=_v2_radius_cap(cfg))
-    n_pad = fs.e3d.shape[1]
-    return jnp.stack(
-        rows + [jnp.zeros((n_pad,), jnp.float32)] * (NCH - len(rows)),
-        axis=0,
-    )
+    return _stack_reproj_rows(fs.e3d, w2c, cam, cfg)
 
 
 def render_frozen_sorted_tiles(
@@ -1053,6 +1045,168 @@ def render_frozen_sorted(
     alpha = alpha[: cam.height, : cam.width]
     radii = jnp.zeros((1,), jnp.int32)  # not tracked on the frozen path
     return RenderOutput(color, depth, alpha, radii)
+
+
+# ---------------------------------------------------------------------------
+# Pose-contraction tracking path (PERF.md roadmap #6)
+# ---------------------------------------------------------------------------
+#
+# The frozen-sorted tracking loss only differentiates w.r.t. the 7 relative
+# pose parameters (quat wxyz + trans xyz; exposure never enters the render).
+# The legacy chain pays a full per-gaussian gradient anyway: the kernel
+# rmw's a (NCH, Npad) grad array to HBM which XLA contracts through the
+# reprojection VJP down to 7 scalars. This path instead hands the backward
+# kernel PRECOMPUTED per-gaussian jacobians d(attr)/d(pose) and contracts
+# per-entry cotangents in VMEM (rasterizer_pallas_v2.pose_grad_sorted):
+# no grad buffer, no rmw, no N-sized XLA VJP. Numerically it computes the
+# exact same chain-rule sum in a different association order.
+# Enabled by TrackerConfig.pose_grad_kernel / EAGS_POSE_KERNEL (default
+# off; sweepable on the bench).
+
+
+def _pose_rel_w2c(pose_vec: jnp.ndarray, last_w2c: jnp.ndarray):
+    """w2c = last_w2c @ Rel(quat=pose_vec[:4], trans=pose_vec[4:7]) — the
+    exact float chain of tracker._rel_matrix (core.se3.quat_to_rotmat and
+    the local _quat_to_rotmat share formula and normalization eps)."""
+    R = _quat_to_rotmat(pose_vec[:4])
+    rel = jnp.eye(4, dtype=jnp.float32)
+    rel = rel.at[:3, :3].set(R)
+    rel = rel.at[:3, 3].set(pose_vec[4:7])
+    return last_w2c @ rel
+
+
+def _pose_rows6(e3d, pose_vec, last_w2c, cam: Camera, cfg: RasterConfig):
+    """The 6 pose-DEPENDENT attr rows (u, v, conic a/b/c, depth) as a
+    (6, Npad) stack — the jacobian target for the pose-contraction
+    backward. Row order must match rasterizer_pallas_v2._GROWS."""
+    rows = _reproject_rows(e3d, _pose_rel_w2c(pose_vec, last_w2c), cam, cfg,
+                           radius_cap=_v2_radius_cap(cfg))
+    return jnp.stack([rows[0], rows[1], rows[2], rows[3], rows[4], rows[9]],
+                     axis=0)
+
+
+def _pose_jacobian(e3d, pose_vec, last_w2c, cam: Camera, cfg: RasterConfig):
+    """(P_MAX * PJ, Npad) f32 jacobian d(pose-dep attrs)/d(pose_vec) in the
+    kernel's row layout (p * PJ + ch). Built as 7 elementwise JVP passes
+    (one per parameter basis vector) — stacking tangents first keeps the
+    (7, 6, Npad) result row-major so the reshape to kernel rows is free
+    (a jacfwd would put the parameter axis LAST and pay a transpose)."""
+    from .rasterizer_pallas_v2 import P_MAX, PJ
+
+    eye = jnp.eye(pose_vec.shape[0], dtype=pose_vec.dtype)
+    jac = jax.vmap(
+        lambda t: jax.jvp(
+            lambda pv: _pose_rows6(e3d, pv, last_w2c, cam, cfg),
+            (pose_vec,), (t,),
+        )[1]
+    )(eye)                                            # (7, 6, Npad)
+    n_pad = jac.shape[-1]
+    jac = jac.reshape(pose_vec.shape[0] * PJ, n_pad)
+    pad_rows = P_MAX * PJ - jac.shape[0]
+    return jnp.concatenate(
+        [jac, jnp.zeros((pad_rows, n_pad), jnp.float32)], axis=0
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _frozen_pose_tiles(e3d, seg_start, seg_cnt, tile_ids, pose_vec,
+                       last_w2c, cam: Camera, cfg: RasterConfig):
+    """Raw tile blocks of the frozen-sorted render, differentiable w.r.t.
+    `pose_vec` (7,) ONLY (e3d/last_w2c cotangents are zero — both are
+    constants during tracking refinement)."""
+    from .rasterizer_pallas_v2 import composite_sorted
+
+    tiles_x = -(-cam.width // cfg.tile)
+    attrs = _stack_reproj_rows(e3d, _pose_rel_w2c(pose_vec, last_w2c), cam,
+                               cfg)
+    return composite_sorted(attrs, seg_start, seg_cnt, tile_ids, cfg.tile,
+                            tiles_x, cfg.group, cfg.bands, cfg.seg_cap,
+                            cfg.kernel_bf16, cfg.kernel_quadform, False)
+
+
+def _frozen_pose_tiles_fwd(e3d, seg_start, seg_cnt, tile_ids, pose_vec,
+                           last_w2c, cam, cfg):
+    from .rasterizer_pallas_v2 import composite_sorted_fwd_res
+
+    tiles_x = -(-cam.width // cfg.tile)
+    attrs = _stack_reproj_rows(e3d, _pose_rel_w2c(pose_vec, last_w2c), cam,
+                               cfg)
+    out, rank, attrs_dma = composite_sorted_fwd_res(
+        attrs, seg_start, seg_cnt, tile_ids, cfg.tile, tiles_x, cfg.group,
+        cfg.bands, cfg.seg_cap, cfg.kernel_bf16, cfg.kernel_quadform)
+    return out, (e3d, seg_start, seg_cnt, tile_ids, pose_vec, last_w2c,
+                 attrs_dma, out, rank)
+
+
+def _frozen_pose_tiles_bwd(cam, cfg, res, dout):
+    from .rasterizer_pallas_v2 import pose_grad_sorted
+
+    (e3d, seg_start, seg_cnt, tile_ids, pose_vec, last_w2c, attrs_dma, out,
+     rank) = res
+    tiles_x = -(-cam.width // cfg.tile)
+    jac = _pose_jacobian(e3d, pose_vec, last_w2c, cam, cfg)
+    dpose = pose_grad_sorted(attrs_dma, jac, seg_start, seg_cnt, tile_ids,
+                             out, rank, dout, cfg.tile, tiles_x, cfg.group,
+                             cfg.bands, cfg.seg_cap, cfg.kernel_bf16,
+                             cfg.kernel_quadform)
+    return (jnp.zeros_like(e3d), None, None, None,
+            dpose[: pose_vec.shape[0]], jnp.zeros_like(last_w2c))
+
+
+_frozen_pose_tiles.defvjp(_frozen_pose_tiles_fwd, _frozen_pose_tiles_bwd)
+
+
+def _stack_reproj_rows(e3d, w2c, cam: Camera, cfg: RasterConfig):
+    from .rasterizer_pallas import NCH
+
+    rows = _reproject_rows(e3d, w2c, cam, cfg,
+                           radius_cap=_v2_radius_cap(cfg))
+    n_pad = e3d.shape[1]
+    return jnp.stack(
+        rows + [jnp.zeros((n_pad,), jnp.float32)] * (NCH - len(rows)),
+        axis=0,
+    )
+
+
+def render_frozen_sorted_tiles_pose(
+    fs: FrozenSorted, pose_vec, last_w2c, tile_ids: jnp.ndarray, cam: Camera,
+    cfg: RasterConfig,
+) -> "TileRender":
+    """`render_frozen_sorted_tiles` with the pose-contraction backward:
+    identical forward; the gradient w.r.t. `pose_vec` (quat4 + trans3) is
+    contracted in-kernel against precomputed jacobians instead of passing
+    through a (NCH, Npad) per-gaussian grad array. rmw_window is moot here
+    (the pose backward performs no rmw at all)."""
+    out = _frozen_pose_tiles(fs.e3d, fs.seg_start, fs.seg_cnt,
+                             tile_ids.astype(jnp.int32), pose_vec, last_w2c,
+                             cam, cfg)
+    s = tile_ids.shape[0]
+    ts = cfg.tile
+    img = out[:s, :5].reshape(s, 5, ts, ts)
+    return TileRender(
+        color=jnp.transpose(img[:, 0:3], (0, 2, 3, 1)),
+        depth=img[:, 3],
+        alpha=img[:, 4],
+    )
+
+
+def render_frozen_sorted_pose(
+    fs: FrozenSorted, pose_vec, last_w2c, cam: Camera, cfg: RasterConfig
+) -> RenderOutput:
+    """Full-image `render_frozen_sorted` with the pose-contraction
+    backward (see render_frozen_sorted_tiles_pose)."""
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    out = _frozen_pose_tiles(fs.e3d, fs.seg_start, fs.seg_cnt, tile_ids,
+                             pose_vec, last_w2c, cam, cfg)
+    color, depth, alpha = _assemble_image(out, cam, cfg)
+    return RenderOutput(
+        color[: cam.height, : cam.width],
+        depth[: cam.height, : cam.width],
+        alpha[: cam.height, : cam.width],
+        jnp.zeros((1,), jnp.int32),
+    )
 
 
 # ---------------------------------------------------------------------------

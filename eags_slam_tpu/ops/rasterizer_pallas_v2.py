@@ -373,6 +373,121 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
     jax.lax.fori_loop(0, group, tile_body, 0)
 
 
+def _replay_chunks(bufs, rank, n_surv, fwd_g, dout_g, gbuf, tc, *,
+                   tile: int, tiles_x: int, quadform: bool, bf16: bool,
+                   P, lu, lv, tri, tri_s):
+    """Reverse chunk replay for ONE tile `tc`: recompute alphas/weights from
+    the attr buffer `bufs` (NCH, capt) and accumulate ALL per-entry grads
+    into `gbuf` (NCH, capt) in the tile's band-window lane layout.
+
+    Shared by the rmw backward (`_bwd_kernel`, grads scattered to the global
+    per-gaussian array) and the pose-contraction backward
+    (`_pose_bwd_kernel`, grads contracted against pose jacobians in VMEM).
+    fwd_g / dout_g are the tile's forward-output and output-cotangent blocks
+    (NCH, PX); rank is the forward's persisted depth rank (1, capt)."""
+    px = tile * tile
+    dout_px = jnp.transpose(dout_g[0:4, :])                # (PX, 4)
+    d_alpha_map = jnp.transpose(dout_g[4:5, :])            # (PX, 1)
+    log_t_final = jnp.transpose(fwd_g[5:6, :])
+    eff = fwd_g[6, 0].astype(jnp.int32)
+
+    tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
+    ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
+    pu = lu + tx0
+    pv = lv + ty0
+    capt = gbuf.shape[1]
+
+    gbuf[:, :] = jnp.zeros((NCH, capt), jnp.float32)
+
+    def body(carry):
+        ci, log_t_end, bvec = carry
+        M = _onehot(rank, ci * CHUNK, capt)
+        e_t = jax.lax.dot_general(
+            bufs[:, :], M, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if quadform:
+            G_c = _gmat_chunk(e_t, tx0, ty0)
+            alpha, g_ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
+                                         n_surv - ci * CHUNK, CHUNK)
+            du = dv = None
+        else:
+            alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv,
+                                             n_surv - ci * CHUNK, CHUNK)
+        log1m = jnp.log1p(-alpha)
+        excl = _mm(log1m, tri, bf16)
+        log_t_in = log_t_end - jnp.sum(log1m, axis=1, keepdims=True)
+        T_i = jnp.exp(excl + log_t_in)
+        w = alpha * T_i
+
+        q = jax.lax.dot_general(
+            dout_px, e_t[6:10, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + d_alpha_map                                # (PX, CHUNK)
+
+        wq = w * q
+        suffix = _mm(wq, tri_s, bf16)
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = T_i * q - (bvec + suffix) / one_m
+        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+
+        dfeat = jax.lax.dot_general(
+            dout_g[0:4, :], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (4, CHUNK)
+        dop = jnp.sum(d_alpha * g_, axis=0, keepdims=True)
+        dpower = d_alpha * alpha
+        if quadform:
+            # Quadform cotangents via dpower-weighted basis MOMENTS —
+            # one (8, PX) x (PX, CHUNK) MXU matmul replaces the five
+            # VPU (PX, CHUNK)-sized reductions: S rows are sums of
+            # [lu^2, lv^2, lu*lv, lu, lv, 1] weighted by dpower.
+            S = jax.lax.dot_general(
+                P, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (8, CHUNK)
+            u_ = e_t[0:1, :] - tx0
+            v_ = e_t[1:2, :] - ty0
+            a_, b_, c_ = e_t[2:3, :], e_t[3:4, :], e_t[4:5, :]
+            su_c = S[3:4, :] - u_ * S[5:6, :]
+            sv_c = S[4:5, :] - v_ * S[5:6, :]
+            dmu = a_ * su_c + b_ * sv_c
+            dmv = c_ * sv_c + b_ * su_c
+            da = -0.5 * (S[0:1, :] - 2.0 * u_ * S[3:4, :]
+                         + u_ * u_ * S[5:6, :])
+            db_ = -(S[2:3, :] - u_ * S[4:5, :] - v_ * S[3:4, :]
+                    + u_ * v_ * S[5:6, :])
+            dc = -0.5 * (S[1:2, :] - 2.0 * v_ * S[4:5, :]
+                         + v_ * v_ * S[5:6, :])
+        else:
+            d_du = dpower * (-(e_t[2:3, :] * du + e_t[3:4, :] * dv))
+            d_dv = dpower * (-(e_t[4:5, :] * dv + e_t[3:4, :] * du))
+            dmu = -jnp.sum(d_du, axis=0, keepdims=True)
+            dmv = -jnp.sum(d_dv, axis=0, keepdims=True)
+            da = jnp.sum(-0.5 * du * du * dpower, axis=0, keepdims=True)
+            db_ = jnp.sum(-du * dv * dpower, axis=0, keepdims=True)
+            dc = jnp.sum(-0.5 * dv * dv * dpower, axis=0,
+                         keepdims=True)
+
+        dG = jnp.concatenate(
+            [dmu, dmv, da, db_, dc, dop, dfeat,
+             jnp.zeros((NCH - 10, CHUNK), jnp.float32)],
+            axis=0,
+        )                                              # (NCH, CHUNK)
+        # Un-permute back to buffer lanes: gbuf += dG @ M.
+        gbuf[:, :] = gbuf[:, :] + jax.lax.dot_general(
+            dG, M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bvec_new = bvec + jnp.sum(wq, axis=1, keepdims=True)
+        return ci - 1, log_t_in, bvec_new
+
+    jax.lax.while_loop(
+        lambda c: c[0] >= 0, body,
+        (eff - 1, log_t_final, jnp.zeros((px, 1), jnp.float32)),
+    )
+
+
 def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
                 rank_in_ref, dout_ref, zeros_in_ref, grad_hbm, *scratch,
                 tile: int, tiles_x: int, group: int, n_sel: int, bands: int,
@@ -418,9 +533,8 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
     start_tile_dmas(0, base_t)
 
     def _replay(g, tc, slot, is_live):
-        """Reverse chunk replay for one tile: recompute alphas/weights and
-        accumulate all per-entry grads into gbuf (NCH, capt) in the tile's
-        band-window lane layout. Attr band DMAs must already be waited."""
+        """Reverse chunk replay for one tile into gbuf (see _replay_chunks).
+        Attr band DMAs must already be waited."""
         if bf16:
             _rebuild_f32(bufw, buf[slot])
             bufs = bufw[...]
@@ -432,107 +546,10 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
         n_surv = jnp.where(
             is_live, fwd_out_ref[g][7, 0].astype(jnp.int32), 0
         )
-
-        tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
-        ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
-        pu = lu + tx0
-        pv = lv + ty0
-
-        dout = dout_ref[g]                                 # (NCH, PX)
-        dout_px = jnp.transpose(dout[0:4, :])              # (PX, 4)
-        d_alpha_map = jnp.transpose(dout[4:5, :])          # (PX, 1)
-        log_t_final = jnp.transpose(fwd_out_ref[g][5:6, :])
-        eff = fwd_out_ref[g][6, 0].astype(jnp.int32)
-
-        gbuf[:, :] = jnp.zeros((NCH, capt), jnp.float32)
-
-        def body(carry):
-            ci, log_t_end, bvec = carry
-            M = _onehot(rank, ci * CHUNK, capt)
-            e_t = jax.lax.dot_general(
-                bufs[:, :], M, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if quadform:
-                G_c = _gmat_chunk(e_t, tx0, ty0)
-                alpha, g_ = _chunk_alpha_mxu(P, G_c, e_t[5:6, :],
-                                             n_surv - ci * CHUNK, CHUNK)
-                du = dv = None
-            else:
-                alpha, g_, du, dv = _chunk_alpha(e_t, pu, pv,
-                                                 n_surv - ci * CHUNK, CHUNK)
-            log1m = jnp.log1p(-alpha)
-            excl = _mm(log1m, tri, bf16)
-            log_t_in = log_t_end - jnp.sum(log1m, axis=1, keepdims=True)
-            T_i = jnp.exp(excl + log_t_in)
-            w = alpha * T_i
-
-            q = jax.lax.dot_general(
-                dout_px, e_t[6:10, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + d_alpha_map                                # (PX, CHUNK)
-
-            wq = w * q
-            suffix = _mm(wq, tri_s, bf16)
-            one_m = jnp.maximum(1.0 - alpha, 1e-6)
-            d_alpha = T_i * q - (bvec + suffix) / one_m
-            d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
-
-            dfeat = jax.lax.dot_general(
-                dout[0:4, :], w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # (4, CHUNK)
-            dop = jnp.sum(d_alpha * g_, axis=0, keepdims=True)
-            dpower = d_alpha * alpha
-            if quadform:
-                # Quadform cotangents via dpower-weighted basis MOMENTS —
-                # one (8, PX) x (PX, CHUNK) MXU matmul replaces the five
-                # VPU (PX, CHUNK)-sized reductions: S rows are sums of
-                # [lu^2, lv^2, lu*lv, lu, lv, 1] weighted by dpower.
-                S = jax.lax.dot_general(
-                    P, dpower, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                          # (8, CHUNK)
-                u_ = e_t[0:1, :] - tx0
-                v_ = e_t[1:2, :] - ty0
-                a_, b_, c_ = e_t[2:3, :], e_t[3:4, :], e_t[4:5, :]
-                su_c = S[3:4, :] - u_ * S[5:6, :]
-                sv_c = S[4:5, :] - v_ * S[5:6, :]
-                dmu = a_ * su_c + b_ * sv_c
-                dmv = c_ * sv_c + b_ * su_c
-                da = -0.5 * (S[0:1, :] - 2.0 * u_ * S[3:4, :]
-                             + u_ * u_ * S[5:6, :])
-                db_ = -(S[2:3, :] - u_ * S[4:5, :] - v_ * S[3:4, :]
-                        + u_ * v_ * S[5:6, :])
-                dc = -0.5 * (S[1:2, :] - 2.0 * v_ * S[4:5, :]
-                             + v_ * v_ * S[5:6, :])
-            else:
-                d_du = dpower * (-(e_t[2:3, :] * du + e_t[3:4, :] * dv))
-                d_dv = dpower * (-(e_t[4:5, :] * dv + e_t[3:4, :] * du))
-                dmu = -jnp.sum(d_du, axis=0, keepdims=True)
-                dmv = -jnp.sum(d_dv, axis=0, keepdims=True)
-                da = jnp.sum(-0.5 * du * du * dpower, axis=0, keepdims=True)
-                db_ = jnp.sum(-du * dv * dpower, axis=0, keepdims=True)
-                dc = jnp.sum(-0.5 * dv * dv * dpower, axis=0,
-                             keepdims=True)
-
-            dG = jnp.concatenate(
-                [dmu, dmv, da, db_, dc, dop, dfeat,
-                 jnp.zeros((NCH - 10, CHUNK), jnp.float32)],
-                axis=0,
-            )                                              # (NCH, CHUNK)
-            # Un-permute back to buffer lanes: gbuf += dG @ M.
-            gbuf[:, :] = gbuf[:, :] + jax.lax.dot_general(
-                dG, M, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            bvec_new = bvec + jnp.sum(wq, axis=1, keepdims=True)
-            return ci - 1, log_t_in, bvec_new
-
-        jax.lax.while_loop(
-            lambda c: c[0] >= 0, body,
-            (eff - 1, log_t_final, jnp.zeros((px, 1), jnp.float32)),
-        )
+        _replay_chunks(bufs, rank, n_surv, fwd_out_ref[g], dout_ref[g],
+                       gbuf, tc, tile=tile, tiles_x=tiles_x,
+                       quadform=quadform, bf16=bf16, P=P, lu=lu, lv=lv,
+                       tri=tri, tri_s=tri_s)
 
     if window:
         _bwd_rmw_window(grad_hbm, gbuf, rrbuf, wbuf, gacc, rsem, wsem,
@@ -1003,3 +1020,182 @@ def _composite_sorted_bwd(tile, tiles_x, group, bands, seg_cap, bf16,
 
 
 composite_sorted.defvjp(_composite_sorted_fwd, _composite_sorted_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pose-contraction backward (tracking fast path, PERF.md roadmap #6)
+# ---------------------------------------------------------------------------
+#
+# Tracking needs dL/dpose (7 params: rel quat + trans), not per-gaussian
+# grads — but the rmw backward above always materializes the full
+# (NCH, Npad) grad array (zero + rmw to HBM + readback) which XLA then
+# contracts through the reprojection VJP down to 7 scalars. This variant
+# contracts each tile's per-entry grads against PRECOMPUTED per-gaussian
+# pose jacobians inside VMEM and emits one (8, 128) partial-sum block per
+# program: no grad rmw, no (NCH, Npad) grad materialization, no N-sized
+# XLA VJP — the only extra traffic is the jacobian band reads (pure
+# streaming, prefetched like the attrs).
+#
+# Jacobian layout (P_MAX * PJ, Npad) f32, row p * PJ + ch:
+#   p  in [0, 7): pose parameter (quat w/x/y/z, trans x/y/z); row 7 pad.
+#   ch in [0, 6): pose-DEPENDENT attr channels in gbuf row order —
+#     0 mean_u, 1 mean_v, 2 conic_a, 3 conic_b, 4 conic_c, 5 depth.
+# (opacity's pose dependence is a z>near step — zero gradient a.e., same
+# as the XLA chain; rgb/radius are pose-independent / stop-gradient.)
+
+PJ = 6                      # pose-dependent channels per parameter
+P_MAX = 8                   # padded parameter count (f32 sublane tile)
+_GROWS = (0, 1, 2, 3, 4, 9)  # gbuf rows matching the PJ jacobian channels
+
+
+def _pose_bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, jac_hbm,
+                     fwd_out_ref, rank_in_ref, dout_ref, out_ref,
+                     buf, bufw, gbuf, jbuf, pacc, sem, jsem, *,
+                     tile: int, tiles_x: int, group: int, n_sel: int,
+                     bands: int, seg_cap: int, bf16: bool, quadform: bool):
+    capt = bands * seg_cap
+    base_t = pl.program_id(0) * group
+    P = _basis(tile) if quadform else None
+    lu, lv = _pixel_coords(tile)
+    tri = _tri_excl_T(CHUNK)
+    tri_s = _tri_suffix_T(CHUNK)
+
+    def tile_of(s):
+        return ids_ref[jnp.minimum(s, n_sel - 1)]
+
+    def start_tile_dmas(slot, s):
+        tc = tile_of(s)
+        for b in range(bands):
+            start = start_ref[tc * bands + b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
+                      seg_cap).start()
+            _band_dma(jac_hbm, jbuf.at[slot], jsem.at[slot], al, b,
+                      seg_cap).start()
+
+    def wait_tile_dmas(slot, s):
+        tc = tile_of(s)
+        for b in range(bands):
+            start = start_ref[tc * bands + b]
+            al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+            _band_dma(attrs_hbm, buf.at[slot], sem.at[slot], al, b,
+                      seg_cap).wait()
+            _band_dma(jac_hbm, jbuf.at[slot], jsem.at[slot], al, b,
+                      seg_cap).wait()
+
+    start_tile_dmas(0, base_t)
+    pacc[...] = jnp.zeros((P_MAX, capt), jnp.float32)
+
+    def tile_body(g, _):
+        s_idx = base_t + g
+        tc = tile_of(s_idx)
+        slot = g % 2
+        wait_tile_dmas(slot, s_idx)
+        @pl.when(g + 1 < group)
+        def _():
+            start_tile_dmas((g + 1) % 2, s_idx + 1)
+
+        is_live = s_idx < n_sel
+        if bf16:
+            _rebuild_f32(bufw, buf[slot])
+            bufs = bufw[...]
+        else:
+            bufs = buf[slot]
+        rank = rank_in_ref[pl.ds(g, 1)]
+        n_surv = jnp.where(
+            is_live, fwd_out_ref[g][7, 0].astype(jnp.int32), 0
+        )
+        _replay_chunks(bufs, rank, n_surv, fwd_out_ref[g], dout_ref[g],
+                       gbuf, tc, tile=tile, tiles_x=tiles_x,
+                       quadform=quadform, bf16=bf16, P=P, lu=lu, lv=lv,
+                       tri=tri, tri_s=tri_s)
+
+        # Contract this tile's per-entry grads against the jacobian bands:
+        # pacc[p] += sum_ch gbuf[_GROWS[ch]] * jbuf[p * PJ + ch].
+        # Dead tiles (s_idx >= n_sel) replay zero chunks -> gbuf is zero.
+        gsel = jnp.concatenate([gbuf[0:5, :], gbuf[9:10, :]], axis=0)
+        contrib = [
+            jnp.sum(gsel * jbuf[slot, p * PJ:(p + 1) * PJ, :],
+                    axis=0, keepdims=True)
+            for p in range(P_MAX - 1)
+        ] + [jnp.zeros((1, capt), jnp.float32)]
+        pacc[...] = pacc[...] + jnp.concatenate(contrib, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, group, tile_body, 0)
+
+    # Fold the lane accumulator down to one (P_MAX, CHUNK) output block.
+    folded = jnp.zeros((P_MAX, CHUNK), jnp.float32)
+    for ci in range(capt // CHUNK):
+        folded = folded + pacc[:, ci * CHUNK:(ci + 1) * CHUNK]
+    out_ref[0] = folded
+
+
+def _make_pose_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
+                   quadform):
+    px = tile * tile
+    t_pad = -(-n_sel // group)
+    capt = bands * seg_cap
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_pad,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),          # attrs
+            pl.BlockSpec(memory_space=pltpu.HBM),          # pose jacobians
+            pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),          # fwd out
+            pl.BlockSpec((group, capt), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),          # fwd ranks
+            pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),          # dout
+        ],
+        out_specs=pl.BlockSpec((1, P_MAX, CHUNK), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NCH, capt),
+                       jnp.bfloat16 if bf16 else jnp.float32),  # buf
+            pltpu.VMEM((NCH, capt) if bf16 else (8, CHUNK),
+                       jnp.float32),                       # bufw (f32 view)
+            pltpu.VMEM((NCH, capt), jnp.float32),          # gbuf
+            pltpu.VMEM((2, P_MAX * PJ, capt), jnp.float32),  # jbuf
+            pltpu.VMEM((P_MAX, capt), jnp.float32),        # pacc
+            pltpu.SemaphoreType.DMA((2, bands)),           # attr bands
+            pltpu.SemaphoreType.DMA((2, bands)),           # jac bands
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_pose_bwd_kernel, tile=tile, tiles_x=tiles_x,
+                          group=group, n_sel=n_sel, bands=bands,
+                          seg_cap=seg_cap, bf16=bf16, quadform=quadform),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, P_MAX, CHUNK), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def composite_sorted_fwd_res(attrs_sorted, seg_start, seg_cnt, tile_ids,
+                             tile: int, tiles_x: int, group: int, bands: int,
+                             seg_cap: int, bf16: bool, quadform: bool):
+    """Forward compositing WITH backward residuals: returns
+    (out, rank, attrs_dma) for a caller-managed custom VJP (the pose path
+    in rasterizer.py)."""
+    attrs_dma = to_bf16_layout(attrs_sorted) if bf16 else attrs_sorted
+    out, rank = _make_fwd(tile_ids.shape[0], attrs_sorted.shape[1], tile,
+                          tiles_x, group, bands, seg_cap, bf16, quadform)(
+        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_dma)
+    return out, rank, attrs_dma
+
+
+def pose_grad_sorted(attrs_dma, jac, seg_start, seg_cnt, tile_ids, out, rank,
+                     dout, tile: int, tiles_x: int, group: int, bands: int,
+                     seg_cap: int, bf16: bool, quadform: bool):
+    """Pose-parameter cotangent (P_MAX,) by in-VMEM contraction of the bwd
+    replay's per-entry grads against per-gaussian pose jacobians `jac`
+    (P_MAX * PJ, Npad) — see the section comment for the row layout.
+    `attrs_dma`/`out`/`rank` are the forward residuals from
+    composite_sorted_fwd_res; `dout` is the tile-image cotangent."""
+    part = _make_pose_bwd(tile_ids.shape[0], attrs_dma.shape[1], tile,
+                          tiles_x, group, bands, seg_cap, bf16, quadform)(
+        seg_start.reshape(-1), seg_cnt.reshape(-1), tile_ids, attrs_dma,
+        jac, out, rank, dout)
+    return jnp.sum(part, axis=(0, 2))

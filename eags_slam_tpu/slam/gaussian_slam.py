@@ -158,6 +158,11 @@ class GaussianSLAM:
             tile_subset_frac=float(tc.get("tile_subset_frac", 0.25)),
             polish_iters=int(tc.get("polish_iters", 0)),
             polish_frac=float(tc.get("polish_frac", 1.0)),
+            # EAGS_POSE_KERNEL lets a bench A/B the pose-contraction
+            # backward (PERF.md roadmap #6) without config edits.
+            pose_grad_kernel=bool(int(os.environ.get(
+                "EAGS_POSE_KERNEL",
+                int(bool(tc.get("pose_grad_kernel", False)))))),
         )
         self.gt_camera = bool(tc.get("gt_camera", False))
         self.odometry_type = str(tc.get("odometry_type", "const_speed"))

@@ -31,7 +31,9 @@ from ..core.sh import sh_to_rgb
 from ..ops.rasterizer import (FrozenBinning, RasterConfig, TileRender,
                               freeze_binning, freeze_sorted, gt_tiles, render,
                               render_frozen, render_frozen_sorted,
-                              render_frozen_sorted_tiles)
+                              render_frozen_sorted_pose,
+                              render_frozen_sorted_tiles,
+                              render_frozen_sorted_tiles_pose)
 from ..utils import optim
 
 
@@ -63,6 +65,13 @@ class TrackerConfig(NamedTuple):
     # = 0.95/5; gaussian_model.py:382-383).
     plateau_patience: int = 5
     plateau_factor: float = 0.95
+    # Pose-contraction backward (sorted backend, PERF.md roadmap #6): the
+    # refinement gradient is contracted in-kernel against precomputed
+    # per-gaussian pose jacobians instead of materializing + rmw-ing a
+    # (NCH, Npad) per-gaussian grad array that XLA reduces to 7 scalars.
+    # Same chain-rule sum in a different association order (golden-tested
+    # to ~1e-6 relative); default off pending a chip measurement.
+    pose_grad_kernel: bool = False
     # Tile-subset refinement (sorted backend): refine the pose on the
     # top-`frac * T` tiles ranked by mapped (alpha^3-weighted) image+depth
     # gradient energy. The pose has ~7 DOF, so information-rich tiles carry
@@ -234,12 +243,30 @@ def _make_loss_fn(
         if subset is not None:
             tile_ids, gt_c_t, gt_d_t, in_img = subset
 
+            if tcfg.pose_grad_kernel:
+                def loss_fn(pose: PoseParams):
+                    pv = jnp.concatenate([pose.quat, pose.trans])
+                    out = render_frozen_sorted_tiles_pose(
+                        fs, pv, last_w2c, tile_ids, cam, rcfg)
+                    cl, dl = _losses_from_output(out, pose, gt_c_t, gt_d_t,
+                                                 tcfg, valid=in_img)
+                    return (tcfg.w_color_loss * cl
+                            + (1 - tcfg.w_color_loss) * dl, (cl, dl))
+            else:
+                def loss_fn(pose: PoseParams):
+                    out = render_frozen_sorted_tiles(
+                        fs, last_w2c @ _rel_matrix(pose), tile_ids, cam, rcfg
+                    )
+                    cl, dl = _losses_from_output(out, pose, gt_c_t, gt_d_t,
+                                                 tcfg, valid=in_img)
+                    return (tcfg.w_color_loss * cl
+                            + (1 - tcfg.w_color_loss) * dl, (cl, dl))
+        elif tcfg.pose_grad_kernel:
             def loss_fn(pose: PoseParams):
-                out = render_frozen_sorted_tiles(
-                    fs, last_w2c @ _rel_matrix(pose), tile_ids, cam, rcfg
-                )
-                cl, dl = _losses_from_output(out, pose, gt_c_t, gt_d_t, tcfg,
-                                             valid=in_img)
+                pv = jnp.concatenate([pose.quat, pose.trans])
+                out = render_frozen_sorted_pose(fs, pv, last_w2c, cam, rcfg)
+                cl, dl = _losses_from_output(out, pose, gt_color, gt_depth,
+                                             tcfg)
                 return (tcfg.w_color_loss * cl
                         + (1 - tcfg.w_color_loss) * dl, (cl, dl))
         else:

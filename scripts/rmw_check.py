@@ -132,6 +132,83 @@ def window():
     sys.exit(0 if ok else 1)
 
 
+def _pose_grads_for(n, h, w, seed, use_pose_kernel, subset_frac=0.33,
+                    **cfg_over):
+    """Pose-parameter gradient of a frozen-sorted tile-subset tracking loss
+    via the legacy rmw chain or the pose-contraction kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from eags_slam_tpu.ops.rasterizer import (
+        RasterConfig, freeze_sorted, render_frozen_sorted_tiles,
+        render_frozen_sorted_tiles_pose)
+    from eags_slam_tpu.slam.tracker import PoseParams, _rel_matrix
+
+    kw = dict(tile=32, dup_side=3, group=8, backend="sorted",
+              seg_cap=1024, bands=3)
+    kw.update(cfg_over)
+    cfg = RasterConfig(**kw)
+    cam, (means, quats, ls, op, col, last_w2c) = scene(n, h, w, seed)
+    fs = freeze_sorted(means, quats, ls, op, col, last_w2c, cam, cfg)
+    tiles_x = -(-cam.width // cfg.tile)
+    tiles_y = -(-cam.height // cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    rng = np.random.default_rng(seed + 13)
+    tile_ids = jnp.asarray(rng.permutation(num_tiles)[
+        : max(int(subset_frac * num_tiles), 1)].astype(np.int32))
+    qt = jnp.asarray([0.999, 0.01, -0.02, 0.015, 0.01, -0.02, 0.03],
+                     jnp.float32)
+
+    def loss(qt):
+        if use_pose_kernel:
+            out = render_frozen_sorted_tiles_pose(fs, qt, last_w2c,
+                                                  tile_ids, cam, cfg)
+        else:
+            pose = PoseParams(qt[:4], qt[4:7], jnp.zeros(2))
+            out = render_frozen_sorted_tiles(
+                fs, last_w2c @ _rel_matrix(pose), tile_ids, cam, cfg)
+        return (out.color.sum() + 0.3 * out.depth.sum()
+                + (out.alpha ** 2).sum() + (out.color * out.color).sum())
+
+    return np.asarray(jax.jit(jax.grad(loss))(qt))
+
+
+def pose():
+    """On-chip golden check of the pose-contraction backward
+    (TrackerConfig.pose_grad_kernel) against the legacy rmw + XLA-VJP
+    chain, same process, same inputs. Interpret-mode pytest goldens cannot
+    see hardware DMA ordering (the dual attr+jacobian band prefetch);
+    run this before trusting any EAGS_POSE_KERNEL timing. EAGS_RMWCHECK_
+    SMALL=1 shrinks the scenes for a CPU smoke."""
+    small = bool(int(os.environ.get("EAGS_RMWCHECK_SMALL", "0") or 0))
+    cases = [
+        ("dense32", dict(n=4096 if small else 20000, h=128 if small else 256,
+                         w=256 if small else 480, seed=0), {}),
+        ("sparse32", dict(n=768 if small else 1536, h=128 if small else 256,
+                          w=256 if small else 480, seed=1), {}),
+        ("dense64", dict(n=4096 if small else 20000, h=128 if small else 256,
+                         w=256 if small else 480, seed=2),
+         dict(tile=64, dup_side=2, group=4,
+              seg_cap=1024 if small else 2048)),
+    ]
+    worst = 0.0
+    for name, sc, over in cases:
+        ref = _pose_grads_for(sc["n"], sc["h"], sc["w"], sc["seed"], False,
+                              **over)
+        new = _pose_grads_for(sc["n"], sc["h"], sc["w"], sc["seed"], True,
+                              **over)
+        denom = max(float(np.max(np.abs(ref))), 1e-3)
+        rel = float(np.max(np.abs(ref - new)) / denom)
+        worst = max(worst, rel)
+        if rel > 1e-5:
+            print(f"{name}: max_rel={rel:.3e} ref={ref} new={new}")
+    # Different association order (contraction vs rmw+VJP): float-noise
+    # tolerance, not bit-exact like the window gate.
+    ok = worst < 1e-3
+    print(("OK" if ok else "MISMATCH"), f"pose-vs-legacy worst={worst:.3e}")
+    sys.exit(0 if ok else 1)
+
+
 def perf():
     import jax
     import jax.numpy as jnp
@@ -170,5 +247,7 @@ if __name__ == "__main__":
         compare(sys.argv[2], sys.argv[3])
     elif cmd == "window":
         window()
+    elif cmd == "pose":
+        pose()
     elif cmd == "perf":
         perf()

@@ -40,3 +40,22 @@ for cfg in "${CONFIGS[@]}"; do
   JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0 \
   timeout 3600 python scripts/map_bench.py "$N" 40 || echo "FAILED rc=$?"
 done
+
+# Tracking pose-contraction backward (PERF.md roadmap #6): on-chip DMA
+# gate first, then the tracking-iteration A/B (legacy vs EAGS_POSE_KERNEL).
+echo "=== pose-grad kernel on-chip golden check ==="
+if PYTHONPATH=/root/repo:/root/.axon_site \
+   JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+   JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0 \
+   timeout 3600 python scripts/rmw_check.py pose; then
+  for pk in 0 1; do
+    echo "=== track_bench EAGS_POSE_KERNEL=$pk ==="
+    EAGS_POSE_KERNEL=$pk \
+    PYTHONPATH=/root/repo:/root/.axon_site \
+    JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+    JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0 \
+    timeout 3600 python scripts/track_bench.py "$N" || echo "FAILED rc=$?"
+  done
+else
+  echo "pose-grad GOLDEN CHECK FAILED (rc=$?) — skipping pose timing"
+fi

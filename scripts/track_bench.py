@@ -54,12 +54,22 @@ def _iter_many(fs, gt_c_t, gt_d_t, in_img, tile_ids, w2c, pose0, cam, rcfg,
                K, fwd_only):
     """K frozen-sorted subset iterations in ONE dispatch (scan-carried pose
     so iterations serialize). fwd_only skips the grad."""
-    from eags_slam_tpu.ops.rasterizer import render_frozen_sorted_tiles
+    from eags_slam_tpu.ops.rasterizer import (
+        render_frozen_sorted_tiles, render_frozen_sorted_tiles_pose)
     from eags_slam_tpu.slam import tracker as T
 
+    # EAGS_POSE_KERNEL=1 routes the refinement gradient through the
+    # pose-contraction backward (PERF.md roadmap #6) for an iter@f A/B.
+    pose_kernel = bool(int(os.environ.get("EAGS_POSE_KERNEL", "0") or 0))
+
     def loss_fn(pose):
-        out = render_frozen_sorted_tiles(
-            fs, w2c @ T._rel_matrix(pose), tile_ids, cam, rcfg)
+        if pose_kernel:
+            pv = jnp.concatenate([pose.quat, pose.trans])
+            out = render_frozen_sorted_tiles_pose(
+                fs, pv, w2c, tile_ids, cam, rcfg)
+        else:
+            out = render_frozen_sorted_tiles(
+                fs, w2c @ T._rel_matrix(pose), tile_ids, cam, rcfg)
         cl, dl = T._losses_from_output(
             out, pose, gt_c_t, gt_d_t,
             T.TrackerConfig(enable_exposure=True), valid=in_img)
