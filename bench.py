@@ -149,6 +149,17 @@ def _warm_lc_programs(gslam):
             lc._register(len(lc.infos) - 1, 0, anchors)
     except Exception as exc:  # noqa: BLE001 — warm-up only
         sys.stderr.write(f"[bench] lc warm-up registration failed: {exc!r}\n")
+    try:
+        # The PGO solve compiles per padded graph-shape bucket and the
+        # warm-up run has no closures, so without this the measured run's
+        # FIRST pruning closure pays ~5 s of fresh compile inside its
+        # latency (observed r4 run 9: pgo_solve_ms 4855/5637 vs ~0.3 s
+        # steady-state).
+        from eags_slam_tpu.lc.pgo import warm_pgo_buckets
+
+        warm_pgo_buckets()
+    except Exception as exc:  # noqa: BLE001 — warm-up only
+        sys.stderr.write(f"[bench] pgo warm-up failed: {exc!r}\n")
 
 
 def _evaluate(gslam, config, out):
