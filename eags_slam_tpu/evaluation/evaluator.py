@@ -148,16 +148,30 @@ class Evaluator:
         otherwise the sensor-depth point cloud. Also reports the
         1000-random-virtual-view unseen depth-L1 (reference :97-197).
         """
-        from ..ops.tsdf import grid_bounds_from_trajectory, integrate, make_grid
+        from ..ops.tsdf import (grid_bounds_from_depths, integrate,
+                                make_grid)
         from ..slam.submap import Submap
         from .mesh import (clean_mesh, load_ply, mesh_metrics, sample_surface,
                            save_ply, surface_nets, unseen_depth_l1)
 
-        voxel = float(self.config.get("evaluation", {}).get("mesh_voxel", 0.02))
+        # Reference parity: Open3D voxel_length 5/512 ~ 0.0098 m, sdf_trunc
+        # 0.04 (reference evaluator.py:196-229). The earlier 0.02 default
+        # cost most of the F-score at tau=0.01: surface placement error
+        # scales with the voxel, so a 2 cm grid cannot score against a 1 cm
+        # threshold (measured: scripts/mesh_bound.py).
+        ev_cfg = self.config.get("evaluation", {})
+        voxel = float(ev_cfg.get("mesh_voxel", 5.0 / 512.0))
         trunc = 4 * voxel
         n = len(self.dataset)
-        origin, dims = grid_bounds_from_trajectory(
-            self.estimated_c2ws[:n], depth_max=6.0, voxel=voxel
+        # Tight bounds from a few real depth frames at their estimated
+        # poses — the trajectory +-depth_max box would make max_dim clip
+        # the scene at 1 cm voxels.
+        sel = np.unique(np.linspace(0, n - 1, 8).astype(int))
+        origin, dims = grid_bounds_from_depths(
+            [self.dataset[int(i)][2] for i in sel],
+            [self.estimated_c2ws[int(i)] for i in sel],
+            self.cam, voxel=voxel,
+            max_dim=int(ev_cfg.get("mesh_max_dim", 512)),
         )
         grid = make_grid(origin, dims, voxel, trunc)
 

@@ -150,6 +150,21 @@ class LoopClosure:
         self._futures.append(fut)
         return fut
 
+    def warm_pgo(self, max_nodes: int = 8,
+                 max_edges: Optional[int] = None) -> None:
+        """Compile the PGO solve buckets with THIS closer's active statics.
+
+        `optimize_pose_graph` with edge_prune_thres=None hits the
+        line_mu=None `_gn_solve` signature — a different compiled program
+        than the pruning path — so warming must mirror the configured
+        `pgo_edge_prune_thres` or it is silently ineffective (ADVICE r4)."""
+        from .pgo import warm_pgo_buckets
+
+        warm_pgo_buckets(
+            max_nodes=max_nodes, max_edges=max_edges,
+            edge_prune_thres=(self.pgo_edge_prune_thres or None),
+        )
+
     def report(self) -> dict:
         """Closure-latency + count summary for the run report."""
         tot = [l["total_ms"] for l in self.latencies]

@@ -217,9 +217,33 @@ def optimize_pose_graph(
     return poses[:n]
 
 
+def derive_pgo_buckets(max_nodes: int, max_edges: Optional[int] = None):
+    """(n_pad, e_pad) buckets covering graphs up to `max_nodes` submaps.
+
+    Mirrors `_pad_graph`'s power-of-two padding: for each node bucket n in
+    4..pad(max_nodes), edges land in (n, n) or (n, 2n) — a pose chain plus
+    up to ~n accumulated loop edges. `max_edges` extends the largest node
+    bucket for loop-edge-heavy runs."""
+    out = []
+    n = 4
+    n_cap = _next_pow2(max(int(max_nodes), 2))
+    while n <= n_cap:
+        out.append((n, n))
+        out.append((n, 2 * n))
+        n *= 2
+    if max_edges is not None:
+        e = 2 * n_cap
+        e_cap = _next_pow2(max(int(max_edges), 2))
+        while e < e_cap:
+            e *= 2
+            out.append((n_cap, e))
+    return tuple(out)
+
+
 def warm_pgo_buckets(
-    buckets=((4, 4), (4, 8), (8, 8), (8, 16)),
+    buckets=None, max_nodes: int = 8, max_edges: Optional[int] = None,
     iters: int = 20, huber: float = 0.5, line_mu: float = 0.25,
+    edge_prune_thres: Optional[float] = 0.25,
 ) -> None:
     """Compile `_gn_solve` for the given (n_pad, e_pad) shape buckets.
 
@@ -227,13 +251,22 @@ def warm_pgo_buckets(
     warm-up runs without closures never reach it, so a cold process pays
     the compile (~2.4-5 s each, measured) inside the FIRST real closure.
     Call this during a warm-up phase (bench.py `_warm_lc_programs`) to move
-    those compiles out of the measured/latency-critical path. Defaults
-    match `optimize_pose_graph`'s statics as LoopCloser invokes it.
+    those compiles out of the measured/latency-critical path. Pass the
+    ACTIVE config's statics (`LoopCloser.warm_pgo` does): with
+    `edge_prune_thres=None` the line_mu=None `_gn_solve` signature is the
+    one that compiles — warming only the default would be silently
+    ineffective for that config. Without explicit `buckets`, they are
+    derived from the expected submap count (`max_nodes`/`max_edges`).
     """
     import numpy as np
 
+    if buckets is None:
+        buckets = derive_pgo_buckets(max_nodes, max_edges)
     for n, e in buckets:
-        assert e >= n - 1, (n, e)
+        if e < n - 1:
+            raise ValueError(
+                f"bucket ({n}, {e}): a connected {n}-node graph needs at "
+                f"least {n - 1} edges")
         ij = np.zeros((e, 2), np.int32)
         ij[: n - 1, 0] = np.arange(n - 1)
         ij[: n - 1, 1] = np.arange(1, n)
@@ -250,4 +283,5 @@ def warm_pgo_buckets(
             edges_is_loop=jnp.asarray(np.arange(e) >= n - 1),
         )
         optimize_pose_graph(graph, iters=iters, huber=huber,
-                            edge_prune_thres=0.25, line_mu=line_mu)
+                            edge_prune_thres=edge_prune_thres,
+                            line_mu=line_mu)

@@ -1,0 +1,188 @@
+"""Numerical parity of the weight-gated paths (VERDICT r4 missing #1/#2).
+
+The NetVLAD and LPIPS implementations are weight-gated (zero-egress
+container ships no checkpoints). These tests prove the WHOLE gated path —
+random fixture weights written in the real torch checkpoint layouts ->
+converter script -> JAX forward — against an independent torch-computed
+reference of the same documented pipeline, so dropping in real weights is
+numerics-proven turnkey, not just "the gate opens".
+
+Reference pipelines: hloc NetVLAD (reference src/gsr/descriptor.py:14-28)
+and LPIPS(alex) (reference src/evaluation/evaluator.py:147-171).
+"""
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+
+def _load_script(name):
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", name)
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _t(a):
+    return torch.tensor(np.asarray(a, np.float32))
+
+
+# ---------------------------------------------------------------- LPIPS ---
+
+# Real AlexNet channel widths: the converter validates them, and a 64x64
+# input keeps the torch/JAX forwards cheap at full width.
+_AL_CH = (64, 192, 384, 256, 256)
+_AL_IN = (3, 64, 192, 384, 256)
+_AL_K = (11, 5, 3, 3, 3)
+_AL_STRIDE = (4, 1, 1, 1, 1)
+_AL_PAD = (2, 2, 1, 1, 1)
+
+
+def _torch_alex_features(ws, bs, x):
+    feats = []
+    for i in range(5):
+        x = F.relu(F.conv2d(x, ws[i], bs[i], stride=_AL_STRIDE[i],
+                            padding=_AL_PAD[i]))
+        feats.append(x)
+        if i in (0, 1):
+            x = F.max_pool2d(x, kernel_size=3, stride=2)
+    return feats
+
+
+def _torch_lpips(ws, bs, lins, img1, img2):
+    mean = _t([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = _t([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def prep(im):
+        x = _t(im).permute(2, 0, 1)[None]
+        return (x - mean) / std
+
+    f1 = _torch_alex_features(ws, bs, prep(img1))
+    f2 = _torch_alex_features(ws, bs, prep(img2))
+    total = 0.0
+    for a, b, w in zip(f1, f2, lins):
+        na = a / a.norm(dim=1, keepdim=True).clamp_min(1e-10)
+        nb = b / b.norm(dim=1, keepdim=True).clamp_min(1e-10)
+        d = (na - nb) ** 2
+        total = total + (d * w.view(1, -1, 1, 1)).sum(dim=1).mean()
+    return float(total)
+
+
+def test_lpips_parity_vs_torch(tmp_path, rng):
+    conv = _load_script("convert_lpips.py")
+    sd, ws, bs = {}, [], []
+    for i, (c, ic, k) in enumerate(zip(_AL_CH, _AL_IN, _AL_K)):
+        w = rng.normal(scale=0.1, size=(c, ic, k, k)).astype(np.float32)
+        b = rng.normal(scale=0.05, size=c).astype(np.float32)
+        fi = conv._FEATURE_IDX[i]
+        sd[f"features.{fi}.weight"] = _t(w)
+        sd[f"features.{fi}.bias"] = _t(b)
+        ws.append(_t(w))
+        bs.append(_t(b))
+    lin_sd, lins = {}, []
+    for i, c in enumerate(_AL_CH):
+        lw = np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32)
+        lin_sd[f"lin{i}.model.1.weight"] = _t(lw)
+        lins.append(_t(lw.reshape(-1)))
+    alex_p = tmp_path / "alexnet.pth"
+    lins_p = tmp_path / "lins.pth"
+    out_p = tmp_path / "lpips_alex.npz"
+    torch.save(sd, alex_p)
+    torch.save(lin_sd, lins_p)
+    conv.convert(str(alex_p), str(lins_p), str(out_p))
+
+    from eags_slam_tpu.evaluation import lpips as L
+
+    img1 = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    img2 = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    want = _torch_lpips(ws, bs, lins, img1, img2)
+
+    old_path, old_net = L._WEIGHTS_PATH, L._NET
+    try:
+        L._WEIGHTS_PATH, L._NET = str(out_p), None
+        got = L.lpips(img1, img2)
+    finally:
+        L._WEIGHTS_PATH, L._NET = old_path, old_net
+    assert got is not None
+    assert got == pytest.approx(want, rel=2e-4, abs=2e-6), (got, want)
+
+
+# -------------------------------------------------------------- NetVLAD ---
+
+# VGG16 pooling positions (netvlad._VGG); channel widths reduced.
+_VGG_POOL = [False, True, False, True, False, False, True,
+             False, False, True, False, False, False]
+_VGG_CH = [4, 4, 6, 6, 8, 8, 8, 12, 12, 12, 12, 12, 12]
+_RGB_MEAN = np.array([123.68, 116.779, 103.939], np.float32)
+
+
+def _torch_netvlad(convs, aw, ab, cents, pw, pb, rgb01):
+    x = _t(rgb01) * 255.0 - _t(_RGB_MEAN)
+    x = x.permute(2, 0, 1)[None]
+    for (w, b), pool in zip(convs, _VGG_POOL):
+        x = F.relu(F.conv2d(x, w, b, padding=1))
+        if pool:
+            x = F.max_pool2d(x, 2)
+    d = x.shape[1]
+    f = x[0].reshape(d, -1).T
+    f = f / f.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+    logits = f @ aw.reshape(aw.shape[0], d).T + ab
+    a = torch.softmax(logits, dim=-1)
+    vlad = a.T @ f - a.sum(0)[:, None] * cents
+    vlad = vlad / vlad.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+    v = vlad.reshape(-1)
+    v = v / v.norm().clamp_min(1e-12)
+    out = pw @ v + pb
+    return (out / out.norm().clamp_min(1e-12)).numpy()
+
+
+def test_netvlad_parity_vs_torch(tmp_path, rng):
+    conv = _load_script("convert_netvlad.py")
+    K, OUT = 8, 16
+    sd, convs = {}, []
+    # pytorch-NetVlad layout: encoder.<i>.weight/.bias, indices with
+    # ReLU/pool gaps like the real torchvision VGG sequential.
+    idx, ic = 0, 3
+    for c, pool in zip(_VGG_CH, _VGG_POOL):
+        w = rng.normal(scale=0.15, size=(c, ic, 3, 3)).astype(np.float32)
+        b = rng.normal(scale=0.05, size=c).astype(np.float32)
+        sd[f"encoder.{idx}.weight"] = _t(w)
+        sd[f"encoder.{idx}.bias"] = _t(b)
+        convs.append((_t(w), _t(b)))
+        idx += 2 + int(pool)  # conv, relu[, pool]
+        ic = c
+    d = _VGG_CH[-1]
+    aw = rng.normal(scale=0.2, size=(K, d, 1, 1)).astype(np.float32)
+    ab = rng.normal(scale=0.1, size=K).astype(np.float32)
+    cents = rng.normal(scale=0.5, size=(K, d)).astype(np.float32)
+    pw = rng.normal(scale=0.3, size=(OUT, K * d)).astype(np.float32)
+    pb = rng.normal(scale=0.05, size=OUT).astype(np.float32)
+    sd["pool.conv.weight"] = _t(aw)
+    sd["pool.conv.bias"] = _t(ab)
+    sd["pool.centroids"] = _t(cents)
+    sd["whiten.weight"] = _t(pw)
+    sd["whiten.bias"] = _t(pb)
+    ckpt = tmp_path / "netvlad.pth"
+    out_p = tmp_path / "netvlad.npz"
+    torch.save(sd, ckpt)
+    conv.convert(str(ckpt), str(out_p))
+
+    from eags_slam_tpu.lc import netvlad as NV
+
+    rgb = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    want = _torch_netvlad(
+        convs, _t(aw), _t(ab), _t(cents), _t(pw), _t(pb), rgb)
+
+    old_path, old_net = NV._WEIGHTS_PATH, NV._NET
+    try:
+        NV._WEIGHTS_PATH, NV._NET = str(out_p), None
+        got = np.asarray(NV.describe(rgb))
+    finally:
+        NV._WEIGHTS_PATH, NV._NET = old_path, old_net
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
