@@ -315,7 +315,7 @@ def _fwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, out_ref, rank_ref,
         # Inference-only renders (no vjp) skip the write — ~capt*4 B/tile
         # of dead HBM traffic otherwise (ADVICE r2).
         if emit_rank:
-            rank_ref[pl.ds(g, 1)] = rank
+            rank_ref[0, pl.ds(g, 1)] = rank
 
         tx0 = ((tc % tiles_x) * tile).astype(jnp.float32)
         ty0 = ((tc // tiles_x) * tile).astype(jnp.float32)
@@ -542,7 +542,7 @@ def _bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, fwd_out_ref,
             bufs = buf[slot]
         # Rank + survivor count persisted by the forward kernel (out ch 7):
         # no candidates / rank-pass recomputation in the replay.
-        rank = rank_in_ref[pl.ds(g, 1)]
+        rank = rank_in_ref[0, pl.ds(g, 1)]
         n_surv = jnp.where(
             is_live, fwd_out_ref[g][7, 0].astype(jnp.int32), 0
         )
@@ -877,7 +877,12 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
     # Inference-only renders keep a 1-row dummy rank output (never
     # written); the f32 rebuild scratch exists only under bf16 (ADVICE r2:
     # ~capt*NCH*4 B of dead VMEM otherwise).
-    rank_rows = t_pad * group if emit_rank else 1
+    # Ranks are (t_pad, group, capt) 3-D so the Mosaic-constrained LAST TWO
+    # block dims are (group, capt) == the full array dims — legal for ANY
+    # group (a 2-D (group, capt) block needs group % 8 == 0 and failed to
+    # lower at the seg-sweep's group=4 big-tile shape).
+    rank_rows = t_pad if emit_rank else 1
+    rank_grp = group if emit_rank else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # seg_start, seg_cnt, tile_ids
         grid=(t_pad,),
@@ -892,9 +897,9 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
             ),
             # Persisted depth ranks for the backward replay (see _bwd_kernel).
             pl.BlockSpec(
-                (group if emit_rank else 1, capt),
-                (lambda t, *_: (t, 0)) if emit_rank
-                else (lambda t, *_: (0, 0)),
+                (1, rank_grp, capt),
+                (lambda t, *_: (t, 0, 0)) if emit_rank
+                else (lambda t, *_: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -914,7 +919,7 @@ def _make_fwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_pad * group, NCH, px), jnp.float32),
-            jax.ShapeDtypeStruct((rank_rows, capt), jnp.int32),
+            jax.ShapeDtypeStruct((rank_rows, rank_grp, capt), jnp.int32),
         ],
         interpret=_interpret(),
     )
@@ -949,7 +954,7 @@ def _make_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
             pl.BlockSpec(memory_space=pltpu.HBM),          # attrs
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # fwd out
-            pl.BlockSpec((group, capt), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, group, capt), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # fwd ranks
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # dout
@@ -1101,7 +1106,7 @@ def _pose_bwd_kernel(start_ref, cnt_ref, ids_ref, attrs_hbm, jac_hbm,
             bufs = bufw[...]
         else:
             bufs = buf[slot]
-        rank = rank_in_ref[pl.ds(g, 1)]
+        rank = rank_in_ref[0, pl.ds(g, 1)]
         n_surv = jnp.where(
             is_live, fwd_out_ref[g][7, 0].astype(jnp.int32), 0
         )
@@ -1144,7 +1149,7 @@ def _make_pose_bwd(n_sel, n_pad, tile, tiles_x, group, bands, seg_cap, bf16,
             pl.BlockSpec(memory_space=pltpu.HBM),          # pose jacobians
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # fwd out
-            pl.BlockSpec((group, capt), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, group, capt), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # fwd ranks
             pl.BlockSpec((group, NCH, px), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),          # dout
