@@ -91,3 +91,6 @@ def test_hard_scene_exposure_estimated(hard_run):
     # Frames 2+ are tracked with exposure estimation; drift amplitude 0.08
     # should produce visibly varying gains.
     assert np.abs(exposures[2:, 0]).max() > 0.01
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -138,3 +138,6 @@ def test_boundary_frame_is_mapped_when_misaligned(tmp_path):
     assert 3 in mapped, mapped
     track_losses = [r["loss"] for r in rows if r.get("kind") == "tracking"]
     assert track_losses and all(np.isfinite(track_losses)), track_losses
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

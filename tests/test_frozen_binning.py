@@ -1,4 +1,5 @@
 """Frozen-binning tracking path: parity with the regular render + pose grads."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,3 +74,6 @@ def test_frozen_pose_gradients(rng):
         e[i] = eps
         fd = (float(loss(jnp.asarray(e))) - float(loss(jnp.asarray(-e)))) / (2 * eps)
         assert abs(g[i] - fd) < 0.05 * max(abs(fd), 1e-3) + 1e-5, (i, g[i], fd)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -5,6 +5,7 @@ v1 frozen binning, the v2 kernel re-ranks depths per iteration, so results
 under pose motion should match the regular render even more closely (only
 segment membership is frozen).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,3 +79,6 @@ def test_frozen_sorted_pose_gradients(rng):
         e[i] = eps
         fd = (float(loss(jnp.asarray(e))) - float(loss(jnp.asarray(-e)))) / (2 * eps)
         assert abs(g[i] - fd) < 0.05 * max(abs(fd), 1e-3) + 1e-5, (i, g[i], fd)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -175,3 +175,6 @@ def test_gs_registration_use_render_recovers_offset(rng):
     )
     assert t_err < 0.03, (t_err, res.transformation)
     assert r_err < 1.5, r_err
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

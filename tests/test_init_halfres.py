@@ -121,3 +121,6 @@ def test_halfres_depth_holes_stay_holes():
     assert float(kfs.depth[0, 4, 4]) == 0.0
     assert float(kfs.depth[0, 5, 5]) == 0.0
     assert float(kfs.depth[0, 3, 3]) > 0.0
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

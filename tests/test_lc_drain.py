@@ -6,6 +6,7 @@ between submit and drain to its stale (identity) value. The fix publishes
 per-range correction transforms; the last range is open-ended so
 post-boundary frames inherit their chain's correction.
 """
+import pytest
 import types
 
 import numpy as np
@@ -80,3 +81,6 @@ def test_pending_accumulates_across_passes():
     lc._apply_corrections(anchors, corrected, twc.copy())
     corrs = lc.drain_corrections()
     assert len(corrs) == 2  # both passes preserved in order
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

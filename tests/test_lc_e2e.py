@@ -74,3 +74,6 @@ def test_lc_submap_files_rewritten(lc_run):
     for f in files:
         sm = Submap.load(f)
         assert np.all(np.isfinite(sm.T_prev_m))
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -260,3 +260,6 @@ def test_min_similarity_margin(tmp_path, rng):
         assert 0 in matches, f"revisit lost at min_similarity={min_sim}"
         assert all(m == 0 for m in matches), (
             f"distractor fired at min_similarity={min_sim}: {matches}")
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

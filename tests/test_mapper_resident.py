@@ -145,3 +145,6 @@ def test_freeze_tiles_quality_parity(scene):
     # recorded in the tail and differ from the full-image scale.
     losses = np.asarray(aux["losses"])
     assert losses.shape[0] == 64 and np.all(np.isfinite(losses[:, 0]))
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

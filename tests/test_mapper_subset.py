@@ -89,3 +89,6 @@ def test_subset_matches_full_psnr_at_visit_parity(scene):
     p_sub = _psnr_of(s_sub, color)
     assert p_full > 24, p_full
     assert p_sub > p_full - 1.0, (p_sub, p_full)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

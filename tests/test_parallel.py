@@ -435,3 +435,6 @@ def test_lc_submesh():
     lc = lc_submesh(mesh, 2)
     assert lc.devices.size == 2
     assert lc.axis_names == ("lc",)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -152,3 +152,6 @@ def test_tile_capacity_overflow_drops_deepest(rng):
     out = render(*args, CAM, cfg)
     assert np.isfinite(np.asarray(out.color)).all()
     assert float(jnp.max(out.alpha)) > 0.0
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

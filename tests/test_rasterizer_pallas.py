@@ -1,4 +1,5 @@
 """Pallas compositing kernel vs the dense reference (interpret mode on CPU)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +71,6 @@ def test_pallas_gradients_match_dense(rng):
         scale = max(np.abs(gd).max(), 1e-6)
         np.testing.assert_allclose(gp, gd, atol=5e-3 * scale, err_msg=name)
         assert np.abs(gp).max() > 0, f"zero gradient for {name}"
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

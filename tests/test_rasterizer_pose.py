@@ -190,3 +190,6 @@ def test_refine_trajectory_with_pose_kernel():
     # Same optimizer, same gradients (different float association):
     # trajectories agree to float noise.
     np.testing.assert_allclose(finals[0], finals[1], atol=5e-5)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

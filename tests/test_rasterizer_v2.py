@@ -1,6 +1,7 @@
 """Center-tile-sorted (v2) rasterizer vs the dense reference (interpret
 mode on CPU): forward values, all-parameter gradients, and the frozen
 tracking path equivalence."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -397,3 +398,6 @@ def test_bf16_layout_roundtrip(rng):
                          (10, 8), (13, 10)):
         rel = np.max(np.abs(y[packed] - xs[orig])) / np.max(np.abs(xs[orig]))
         assert rel < 5e-3, (packed, orig, rel)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

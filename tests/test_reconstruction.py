@@ -1,4 +1,5 @@
 """TSDF fusion + surface-nets mesh extraction + metrics on a known shape."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,3 +89,6 @@ def test_unseen_depth_l1_detects_offset(rng):
     shrunk = pts * 0.95  # walls pulled in by 5% -> ~5 cm depth bias
     off = unseen_depth_l1(shrunk, pts, n_views=40, res=64)
     assert off > same + 1.0, (off, same)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -1,4 +1,5 @@
 """Tracker refinement: recover a perturbed camera pose on a small scene."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -278,3 +279,6 @@ def test_track_frame_debug_per_iter(rng):
     assert per_p is None
     np.testing.assert_allclose(np.asarray(rel_d), np.asarray(rel_p),
                                atol=1e-6)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

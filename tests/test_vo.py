@@ -114,3 +114,6 @@ def test_vo_promotes_keyframes_on_large_motion():
     # Pose graph stays consistent: world poses monotone in x.
     xs = [vo.get_pose(i)[0, 3] for i in range(8)]
     assert all(b > a - 1e-6 for a, b in zip(xs, xs[1:])), xs
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"

@@ -186,3 +186,6 @@ def test_netvlad_parity_vs_torch(tmp_path, rng):
         NV._WEIGHTS_PATH, NV._NET = old_path, old_net
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m "not slow"
