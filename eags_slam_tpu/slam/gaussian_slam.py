@@ -131,6 +131,10 @@ class GaussianSLAM:
                 os.environ.get("EAGS_INIT_WARM",
                                int(bool(mc.get("init_warm_start", False)))))),
             warm_min_visible=int(mc.get("warm_min_visible", 20000)),
+            # EAGS_MAP_STALE A/Bs the mapping convergence stop without
+            # config edits (0 = off = reference full budget).
+            stale_best_cnt=int(os.environ.get(
+                "EAGS_MAP_STALE", mc.get("stale_best_cnt", 0))),
         )
         self.tcfg = TrackerConfig(
             iterations=int(tc["iterations"]),

@@ -99,6 +99,10 @@ class MapperConfig(NamedTuple):
     # warm map. Off (= reference protocol, mapper.py:317-334: fresh seeds
     # every submap) unless both flags below are satisfiable.
     init_warm_start: bool = False
+    # Convergence stop for the optimization loops (0 = off = reference
+    # behavior): stop once the loss EMA has failed to beat the checkpointed
+    # best for this many consecutive post-last-prune iterations.
+    stale_best_cnt: int = 0
     # Fall back to the full re-seed protocol when fewer than this many
     # gaussians are visible in the boundary frame (sharp turns, new rooms).
     warm_min_visible: int = 20000
@@ -423,11 +427,13 @@ class _BookState(NamedTuple):
     ckpt_adam: optim.AdamState
     has_ckpt: jnp.ndarray
     early_cnt: jnp.ndarray
+    stale_cnt: jnp.ndarray
     stopped: jnp.ndarray
 
 
 def _book_step(book: _BookState, it, total, opt, adam, alive, *,
-               pruning_thre, ckpt_every, early_thre, prune_iters, ema_beta):
+               pruning_thre, ckpt_every, early_thre, prune_iters, ema_beta,
+               stale_best_cnt=0):
     """One bookkeeping step on POST-update (opt, adam): checkpoint every 5%
     iters, prune (+rollback-on-bad) at 30%/60%, early-stop counting after the
     last prune. Returns (book', opt', adam', alive')."""
@@ -476,8 +482,25 @@ def _book_step(book: _BookState, it, total, opt, adam, alive, *,
     early_cnt = jnp.where(bad, book.early_cnt + 1, 0)
     stopped = book.stopped | (early_cnt > early_thre)
 
+    # Optional CONVERGENCE stop (beyond the reference, default off): the
+    # reference's early stop is a divergence guard only — a flat converged
+    # loss never exceeds 1.15x best, so every mapped frame burns the full
+    # budget even when the render is no longer improving. With
+    # `stale_best_cnt > 0`, count consecutive post-last-prune iterations
+    # whose EMA fails to beat the checkpointed best and stop once the run
+    # exceeds the count. Active only after the last prune so the
+    # prune/rollback protocol (and its best_loss resets) is untouched.
+    if stale_best_cnt > 0:
+        # `improved` is vs the PRE-update best (the post-update best equals
+        # the EMA on every checkpoint iteration by construction).
+        stale = after & ~improved
+        stale_cnt = jnp.where(stale, book.stale_cnt + 1, 0)
+        stopped = stopped | (stale_cnt > stale_best_cnt)
+    else:
+        stale_cnt = book.stale_cnt
+
     new_book = _BookState(best_loss, ema, ckpt_opt, ckpt_adam, has_ckpt,
-                          early_cnt, stopped)
+                          early_cnt, stale_cnt, stopped)
     return new_book, opt, adam, alive
 
 
@@ -914,7 +937,8 @@ def _optimize_core(
         return _book_step(book, it, total, opt, adam, alive,
                           pruning_thre=mcfg.pruning_thre,
                           ckpt_every=ckpt_every, early_thre=early_thre,
-                          prune_iters=prune_iters, ema_beta=ema_beta)
+                          prune_iters=prune_iters, ema_beta=ema_beta,
+                          stale_best_cnt=mcfg.stale_best_cnt)
 
     resident = (backend == "sorted" and mesh is None and not use_subset
                 and mcfg.kf_block > 0)
@@ -929,6 +953,7 @@ def _optimize_core(
         ckpt_adam=state.adam,
         has_ckpt=jnp.array(False),
         early_cnt=jnp.zeros((), jnp.int32),
+        stale_cnt=jnp.zeros((), jnp.int32),
         stopped=jnp.array(False),
     )
     losses0 = jnp.zeros((iterations, 3))

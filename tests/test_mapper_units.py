@@ -98,3 +98,50 @@ def test_keyframe_reservoir_uniform():
     freq = counts / trials
     assert abs(freq.mean() - 8 / 64) < 1e-6
     assert freq.min() > 0.05 and freq.max() < 0.25, freq
+
+
+def _mini_book():
+    from eags_slam_tpu.core.gaussians import empty_state
+    from eags_slam_tpu.utils import optim
+
+    st = empty_state(8)
+    opt = M._split(st.params)
+    adam = st.adam
+    book = M._BookState(
+        best_loss=jnp.array(jnp.inf), ema=jnp.array(jnp.inf),
+        ckpt_opt=opt, ckpt_adam=adam, has_ckpt=jnp.array(False),
+        early_cnt=jnp.zeros((), jnp.int32),
+        stale_cnt=jnp.zeros((), jnp.int32), stopped=jnp.array(False),
+    )
+    return st, opt, adam, book
+
+
+def _drive(losses, stale_best_cnt):
+    """Run _book_step over a scripted loss sequence; return stop iteration
+    (or None). 20-iter budget: ckpt every 1, prunes at 6/12."""
+    st, opt, adam, book = _mini_book()
+    alive = st.alive
+    for it, total in enumerate(losses):
+        book, opt, adam, alive = M._book_step(
+            book, jnp.asarray(it), jnp.asarray(total, jnp.float32),
+            opt, adam, alive, pruning_thre=0.01, ckpt_every=1,
+            early_thre=1, prune_iters=(6, 12), ema_beta=0.0,
+            stale_best_cnt=stale_best_cnt)
+        if bool(book.stopped):
+            return it
+    return None
+
+
+def test_stale_best_stop_fires_on_flat_loss():
+    # Loss decreases until iter 14 then goes exactly flat: the reference
+    # divergence guard (1.15x band) never fires, the convergence stop does.
+    losses = [1.0 - 0.05 * min(i, 14) for i in range(40)]
+    assert _drive(losses, stale_best_cnt=0) is None  # off = reference
+    it = _drive(losses, stale_best_cnt=3)
+    assert it is not None and 14 < it <= 22
+
+
+def test_stale_best_stop_resets_on_improvement():
+    # Strictly improving past the last prune -> stale never accumulates.
+    losses = [1.0 - 0.02 * i for i in range(30)]
+    assert _drive(losses, stale_best_cnt=3) is None
