@@ -34,7 +34,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# Machine-LOCAL compile cache (/tmp, not the repo): the repo moves between
+# hosts across rounds, and XLA:CPU AOT entries compiled on a different CPU
+# generation spam cpu_aot_loader errors and can SIGILL at load (observed
+# r4/r5). The TPU programs themselves are cached by the remote axon helper
+# regardless, so a per-host dir loses nothing that matters.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/eags_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
@@ -101,6 +106,13 @@ def make_config(n_frames: int, out: str):
             # tests/test_mapper_resident.py, this bench's ATE/PSNR.
             "freeze_frac": 0.25,
             "freeze_after": 0.3,
+            # Round-5 measured levers (run 10c vs run 9, PERF.md): warm-start
+            # submap inits (5.1-7.1 s vs 7.5 s each) + mapping stale-best
+            # stop, with ATE 0.762 vs 0.901 cm and MS-SSIM 0.809 vs 0.73 —
+            # strictly better quality at equal-or-less cost. Env vars
+            # (EAGS_INIT_WARM / EAGS_MAP_STALE) still override for A/Bs.
+            "init_warm_start": True,
+            "stale_best_cnt": 20,
         }
     )
     config["tracking"].update({
@@ -119,6 +131,9 @@ def make_config(n_frames: int, out: str):
         "tile_subset_frac": 0.125,
         "polish_iters": 12,
         "polish_frac": 0.25,
+        # Tracking stale-best early stop (run 10c: quality held with fewer
+        # effective iters; EAGS_STALE_BEST overrides).
+        "stale_best_cnt": 15,
     })
     config["lc"] = {
         "enabled": True, "parallel": True, "min_interval": 2,
@@ -129,6 +144,12 @@ def make_config(n_frames: int, out: str):
         # Route mapping through the multi-chip shard_map path on the single
         # chip (collectives degenerate; measures the path a v5e-8 runs).
         config["force_mesh"] = True
+    if os.environ.get("EAGS_GT_CAMERA"):
+        # Quality upper bound (VERDICT r4 weak #4): run the IDENTICAL
+        # protocol with ground-truth poses — the SSIM/PSNR/mesh gap that
+        # remains is map quality + scene model-mismatch, not pose error.
+        config["tracking"]["gt_camera"] = True
+        config["lc"]["enabled"] = False  # no drift to close at GT poses
     return config
 
 
