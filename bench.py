@@ -211,6 +211,10 @@ def run_once(n_frames: int, out: str, phase: str, warm_lc: bool = False,
             _warm_lc_programs(gslam)
         q = _evaluate_cheap(gslam, config, out)
         line = emit(report, q, phase=phase)
+        if heavy_eval and os.environ.get("EAGS_BENCH_SKIP_HEAVY"):
+            _log("heavy eval disabled (EAGS_BENCH_SKIP_HEAVY)")
+            line = emit(report, q)
+            heavy_eval = False
         if heavy_eval:
             # Mesh + global eval cost minutes (TSDF fusion + 512^3
             # surface-nets + 2k refine iters) — only start them with real
@@ -378,7 +382,11 @@ def main():
     # one re-emitted last (with the heavy-eval metrics merged in).
     rep1, line1 = run_once(72, "/tmp/bench_out", phase="full",
                            heavy_eval=False)
-    if _deadline_left() > 1500:
+    # 700 s: a warm 72-frame measured run + cheap eval is ~300-400 s; the
+    # driver's default 2700 s deadline leaves ~1300-1500 s here after a
+    # cold quick+full, so a higher threshold would skip the re-measure in
+    # exactly the cold-cache case it exists for.
+    if _deadline_left() > 700:
         _log("full phase: re-measuring on the warmed cache")
         rep2, line2 = run_once(72, "/tmp/bench_out", phase="full",
                                heavy_eval=True)
@@ -400,8 +408,8 @@ def _finish_heavy(out, report, line):
     the evaluator from the run's on-disk artifacts."""
     from eags_slam_tpu.slam.gaussian_slam import GaussianSLAM
 
-    if _deadline_left() < 900:
-        _log("skipping mesh/global eval (deadline budget low)")
+    if os.environ.get("EAGS_BENCH_SKIP_HEAVY") or _deadline_left() < 900:
+        _log("skipping mesh/global eval (disabled or budget low)")
         return
     config = make_config(72, out)
     gslam = GaussianSLAM.__new__(GaussianSLAM)  # dataset-only shell
