@@ -23,7 +23,18 @@ import numpy as np
 
 def surface_nets(sdf: np.ndarray, weight: np.ndarray, origin, voxel: float,
                  min_weight: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract (vertices (V, 3), faces (F, 3)) from a TSDF grid."""
+    """Extract (vertices (V, 3), faces (F, 3)) from a TSDF grid.
+
+    Entirely host-side numpy — coerce every input. The jitted
+    `ops.tsdf.integrate` returns its NamedTuple with the `voxel`/`origin`
+    leaves as DEVICE scalars, and one device scalar here would silently
+    promote `verts` to a jax array: on the tunneled TPU backend the PLY
+    writer then pays one ~40 ms round trip per element (observed run 12:
+    ~7 vertex lines/s, a 9-hour mesh dump)."""
+    sdf = np.asarray(sdf)
+    weight = np.asarray(weight)
+    origin = np.asarray(origin)
+    voxel = float(voxel)
     observed = weight >= min_weight
     s = np.where(observed, sdf, np.nan)
 
@@ -140,16 +151,23 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_faces: int = 200
 
 
 def save_ply(path: str, verts: np.ndarray, faces: np.ndarray):
+    verts = np.asarray(verts, dtype=np.float64)   # one bulk fetch if device
+    faces = np.asarray(faces, dtype=np.int64)
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {len(verts)}\n")
         f.write("property float x\nproperty float y\nproperty float z\n")
         f.write(f"element face {len(faces)}\n")
         f.write("property list uchar int vertex_indices\nend_header\n")
-        for v in verts:
-            f.write(f"{v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
-        for tri in faces:
-            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+        np.savetxt(f, verts, fmt="%.5f %.5f %.5f")
+        if len(faces):
+            np.savetxt(
+                f,
+                np.concatenate(
+                    [np.full((len(faces), 1), 3, np.int64), faces], axis=1
+                ),
+                fmt="%d %d %d %d",
+            )
 
 
 def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
