@@ -130,15 +130,34 @@ def refine_global_map(
 ) -> Tuple[GaussianParams, np.ndarray]:
     """Full-SH global refinement; returns (params, alive) on device."""
     n = gauss["xyz"].shape[0]
+    # Pad to a power-of-two capacity bucket (the package-wide convention):
+    # the merged count is data-dependent, and an unpadded N gives
+    # _refine_chunk a fresh never-cacheable compile signature every run —
+    # minutes per (shape, sh_degree) on the tunneled helper at ~1M rows.
+    cap = max(1 << (max(n, 1) - 1).bit_length(), 1024)
+    pad = cap - n
+    fills = {"quats": np.array([1.0, 0.0, 0.0, 0.0], np.float32),
+             "log_scales": -10.0, "opacity_logits": -10.0}
+
+    def _pad(name):
+        a = np.asarray(gauss[name])
+        if pad == 0:
+            return jnp.asarray(a)
+        fill = fills.get(name, 0.0)
+        tail = np.broadcast_to(
+            np.asarray(fill, a.dtype), (pad,) + a.shape[1:]
+        )
+        return jnp.asarray(np.concatenate([a, tail], axis=0))
+
     params = GaussianParams(
-        xyz=jnp.asarray(gauss["xyz"]),
-        f_dc=jnp.asarray(gauss["f_dc"]),
-        f_rest=jnp.asarray(gauss["f_rest"]),
-        log_scales=jnp.asarray(gauss["log_scales"]),
-        quats=jnp.asarray(gauss["quats"]),
-        opacity_logits=jnp.asarray(gauss["opacity_logits"]),
+        xyz=_pad("xyz"),
+        f_dc=_pad("f_dc"),
+        f_rest=_pad("f_rest"),
+        log_scales=_pad("log_scales"),
+        quats=_pad("quats"),
+        opacity_logits=_pad("opacity_logits"),
     )
-    alive = jnp.ones((n,), bool)
+    alive = jnp.arange(cap) < n
     adam = optim.adam_init(params)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)

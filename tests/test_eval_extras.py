@@ -82,4 +82,9 @@ def test_global_refine_chunk_runs(rng):
         chunk_iters=3,
     )
     assert np.isfinite(np.asarray(params.xyz)).all()
-    assert alive.shape == (n,)
+    # Returns are padded to a power-of-two capacity bucket (stable compile
+    # signature across data-dependent merged counts); padded rows are dead.
+    cap = alive.shape[0]
+    assert cap >= n and cap == params.xyz.shape[0]
+    assert cap & (cap - 1) == 0
+    assert not np.asarray(alive)[n:].any()
