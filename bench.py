@@ -144,6 +144,13 @@ def make_config(n_frames: int, out: str):
         # Route mapping through the multi-chip shard_map path on the single
         # chip (collectives degenerate; measures the path a v5e-8 runs).
         config["force_mesh"] = True
+    # Cooperative deadline: the frame loop exits cleanly between dispatches
+    # ~3 min before the parent's hard timeout would SIGKILL the child — a
+    # kill with a tunnel RPC in flight crashes the remote worker and costs
+    # the NEXT run a ~25 min backend outage (observed twice 2026-08-20).
+    t0 = float(os.environ.get("EAGS_BENCH_T0", "0") or time.time())
+    total = float(os.environ.get("EAGS_BENCH_DEADLINE_S", "2700"))
+    config["bench_deadline_ts"] = t0 + total - 180.0
     if os.environ.get("EAGS_GT_CAMERA"):
         # Quality upper bound (VERDICT r4 weak #4): run the IDENTICAL
         # protocol with ground-truth poses — the SSIM/PSNR/mesh gap that

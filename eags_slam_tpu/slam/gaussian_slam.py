@@ -700,7 +700,19 @@ class GaussianSLAM:
     def run(self) -> Dict:
         n = len(self.dataset)
         t0 = time.perf_counter()
+        # Cooperative deadline (bench.py): exit BETWEEN frame dispatches
+        # instead of being SIGKILLed mid-RPC by a parent timeout — a kill
+        # with a tunnel dispatch in flight reproducibly crashes the remote
+        # TPU worker (observed twice on 2026-08-20: each bench killed at
+        # its deadline left the next run's backend probe hanging ~25 min).
+        deadline_ts = float(self.config.get("bench_deadline_ts", 0) or 0)
+        frames_run = n
         for frame_id in range(n):
+            if deadline_ts and time.time() > deadline_ts:
+                print(f"deadline: stopping cleanly after {frame_id}/{n} "
+                      "frames", flush=True)
+                frames_run = frame_id
+                break
             # Upload inline, consumed by the immediately-following dispatch.
             # Prefetching the NEXT frame's transfer (worker thread or
             # main-thread async) leaves a DMA in flight overlapping
@@ -847,7 +859,7 @@ class GaussianSLAM:
         path = self.save_current_submap()
         if self.loop_closer is not None:
             if path is not None and self.lc_final:
-                self.loop_closer.submit(self.submap_id, n - 1,
+                self.loop_closer.submit(self.submap_id, frames_run - 1,
                                         self.estimated_c2ws)
             self.loop_closer.finalize()
             self._apply_lc_corrections()
@@ -859,8 +871,8 @@ class GaussianSLAM:
             exposures=self.exposures_ab,
         )
         report = {
-            "frames": n,
-            "fps": n / total,
+            "frames": frames_run,
+            "fps": frames_run / total,
             "total_s": total,
             "track_ms_avg": 1e3 * float(np.mean(self.track_times)),
             "map_ms_avg": 1e3 * float(np.mean(self.map_times)) if self.map_times else 0,
