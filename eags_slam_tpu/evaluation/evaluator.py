@@ -197,15 +197,21 @@ class Evaluator:
                     grid, jnp.clip(out.color, 0, 1),
                     jnp.asarray(depth_n.astype(np.float32)), w2c, self.cam,
                 )
-                # GT surface samples from the sensor depth.
+                # GT surface samples from the sensor depth. Density matters:
+                # at 2000 pts/frame the GT cloud's nearest-neighbor spacing
+                # is ~3-5 cm for a room, so precision@tau=1cm is bounded by
+                # SAMPLING, not surface error (measured: a GT-depth/GT-pose
+                # fusion scored F1 0.22 — scripts/mesh_bound.py). 20k/frame
+                # brings the spacing safely under tau.
                 _, _, gt_depth, _ = self.dataset[int(fid)]
                 from ..core.camera import backproject
 
                 pc = np.asarray(backproject(self.cam, jnp.asarray(gt_depth)))
                 mask = gt_depth > 0
                 pts_cam = pc[mask]
+                n_gt = int(ev_cfg.get("gt_samples_per_frame", 20000))
                 sel = np.random.default_rng(0).choice(
-                    len(pts_cam), min(2000, len(pts_cam)), replace=False
+                    len(pts_cam), min(n_gt, len(pts_cam)), replace=False
                 )
                 pts_w = pts_cam[sel] @ np.asarray(c2w)[:3, :3].T + np.asarray(c2w)[:3, 3]
                 gt_pts.append(pts_w)
@@ -232,7 +238,8 @@ class Evaluator:
         out: Dict = {"n_vertices": int(len(verts)), "n_faces": int(len(faces)),
                      "gt_source": gt_source}
         if len(faces) and len(gt_surface):
-            pred_pts = sample_surface(verts, faces, 20000)
+            pred_pts = sample_surface(
+                verts, faces, int(ev.get("mesh_samples", 200000)))
             out.update(mesh_metrics(pred_pts, gt_surface, tau=0.01))
             n_views = int(ev.get("unseen_views", 1000))
             if n_views > 0:
